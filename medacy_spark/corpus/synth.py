@@ -1,0 +1,193 @@
+"""Deterministic synthetic clinical web corpus (Spark-native, seed-free).
+
+Every value is pure arithmetic over ``doc_id`` — no RNG, no wall clock — so
+the corpus is bit-reproducible at any scale and the gold mentions/triples
+are known *by construction* (the FIXTURES.md contract). This stands in for
+the reference's sample_dataset_1 fixtures
+(medacy/tests/sample_data/sample_dataset_1/) recast as tables, and for the
+north-rule input shape (url, warc_ts, html, text, lang).
+
+Sentence templates embed Drug/Dose/Route/Frequency/Duration/ADE mentions
+drawn from the unit_component.py:61-172 vocabularies (see lexicons.py), e.g.
+
+    patient was prescribed tylenol 500 mg po bid .
+    patient was prescribed metformin 250 mg orally daily for 5 days .
+    patient developed rash after taking aspirin .
+
+Generation is fully distributed: a doc_id spine → explode sentences →
+explode tokens; offsets come from a window running-sum; the document text is
+re-assembled with concat_ws. At 10^12 docs this generator is itself a valid
+Spark job (the spine can be ``spark.range``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from medacy_spark.corpus import lexicons as lex
+from medacy_spark.functions.html import wrap_html_expr
+from medacy_spark.operators.sequence import island_merge
+
+OUTSIDE = "O"
+
+PRED_FOR_TAG = {
+    "Dose": "has_dosage",
+    "Route": "has_route",
+    "Frequency": "has_frequency",
+    "Duration": "has_duration",
+    "Form": "has_form",
+    "ADE": "has_ade",
+}
+
+
+def _pick(arr: list[str], h: Column) -> Column:
+    """Deterministic element pick: arr[h mod len(arr)]."""
+    return F.element_at(
+        F.array(*[F.lit(x) for x in arr]), (F.pmod(h, F.lit(len(arr))) + 1).cast("int")
+    )
+
+
+def clinical_token_stream(doc_ids: DataFrame) -> DataFrame:
+    """doc_ids(doc_id long) -> (doc_id, sent_id, pos, word, role, start, end).
+
+    Roles are the gold labels per token ('O' outside). Offsets assume tokens
+    joined by single spaces (the corpus contract).
+    """
+    d = F.col("doc_id")
+    sents = doc_ids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.pmod(d, F.lit(3)).cast("int"))).alias("sent_id"),
+    )
+    h = (d * 131 + F.col("sent_id") * 17).cast("long")
+    kind = F.pmod(h, F.lit(3))
+
+    drug = _pick(lex.DRUGS, h + 1)
+    num = (F.pmod(h * 7 + 3, F.lit(99)) * 5 + 5).cast("string")
+    unit = _pick(lex.DOSE_UNITS, h + 2)
+    route = _pick(lex.ROUTES, h + 3)
+    freq = _pick(lex.FREQUENCIES, h + 4)
+    dnum = (F.pmod(h + 5, F.lit(9)) + 2).cast("string")
+    timeunit = _pick(lex.TIME_UNITS, h + 6)
+    ade = _pick(lex.ADES, h + 7)
+
+    def sent(words: list[Column | str], roles: list[str]) -> Column:
+        ws = [F.lit(w) if isinstance(w, str) else w for w in words]
+        return F.arrays_zip(
+            F.array(*ws).alias("word"),
+            F.array(*[F.lit(r) for r in roles]).alias("role"),
+        )
+
+    s0 = sent(
+        ["patient", "was", "prescribed", drug, num, unit, route, freq, "."],
+        [OUTSIDE, OUTSIDE, OUTSIDE, "Drug", "Dose", "Dose", "Route", "Frequency", OUTSIDE],
+    )
+    s1 = sent(
+        ["patient", "was", "prescribed", drug, num, unit, route, freq, "for", dnum, timeunit, "."],
+        [OUTSIDE, OUTSIDE, OUTSIDE, "Drug", "Dose", "Dose", "Route", "Frequency",
+         OUTSIDE, "Duration", "Duration", OUTSIDE],
+    )
+    s2 = sent(
+        ["patient", "developed", ade, "after", "taking", drug, "."],
+        [OUTSIDE, OUTSIDE, "ADE", OUTSIDE, OUTSIDE, "Drug", OUTSIDE],
+    )
+
+    toks = sents.select(
+        "doc_id",
+        "sent_id",
+        F.posexplode(
+            F.when(kind == 0, s0).when(kind == 1, s1).otherwise(s2)
+        ).alias("pos", "tok"),
+    ).select(
+        "doc_id", "sent_id", "pos",
+        F.col("tok.word").alias("word"),
+        F.col("tok.role").alias("role"),
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("sent_id", "pos")
+    start = F.coalesce(
+        F.sum(F.length("word") + 1).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return toks.withColumn("start", start).withColumn(
+        "end", (F.col("start") + F.length("word")).cast("long")
+    )
+
+
+def clinical_documents(doc_ids: DataFrame) -> DataFrame:
+    """-> documents(doc_id, url, warc_ts, html, text, lang) in the
+    BASELINE.json input_hint shape. Host assignment is deliberately skewed
+    (half the corpus on host 0) to exercise salted repartitioning."""
+    toks = clinical_token_stream(doc_ids)
+    text = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_id", "pos", "word"))
+                    ),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    d = F.col("doc_id")
+    host_idx = F.when(F.pmod(d, F.lit(2 * len(lex.HOSTS))) < len(lex.HOSTS), F.lit(0)).otherwise(
+        F.pmod(d, F.lit(len(lex.HOSTS))).cast("int")
+    )
+    url = F.concat(
+        F.lit("https://"), _pick(lex.HOSTS, host_idx), F.lit("/doc/"), d.cast("string")
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + d * 7)
+    return text.select(
+        "doc_id",
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        wrap_html_expr(F.col("text")).alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+def gold_mentions(doc_ids: DataFrame) -> DataFrame:
+    """-> (doc_id, tag, start, end, text): the EntTuple relation
+    (annotations.py:8), multi-token roles merged by island_merge (W2)."""
+    toks = clinical_token_stream(doc_ids)
+    return island_merge(
+        toks,
+        part_cols=["doc_id", "sent_id"],
+        order_cols=["pos"],
+        label_col="role",
+        text_col="word",
+    ).select("doc_id", "tag", "start", "end", "text")
+
+
+def gold_triples(doc_ids: DataFrame) -> DataFrame:
+    """-> (doc_id, subj struct, pred, obj struct): Drug → every co-sentence
+    attribute mention, predicate by tag (BRAT R-line shape,
+    add_rel_to_brat.py:154)."""
+    toks = clinical_token_stream(doc_ids)
+    m = island_merge(
+        toks,
+        part_cols=["doc_id", "sent_id"],
+        order_cols=["pos"],
+        label_col="role",
+        text_col="word",
+    )
+    drugs = m.filter(F.col("tag") == "Drug").select(
+        "doc_id", "sent_id",
+        F.struct("tag", "start", "end", "text").alias("subj"),
+    )
+    attrs = m.filter(F.col("tag") != "Drug").select(
+        "doc_id", "sent_id", "tag",
+        F.struct("tag", "start", "end", "text").alias("obj"),
+    )
+    pred = F.element_at(
+        F.create_map(*[F.lit(x) for kv in PRED_FOR_TAG.items() for x in kv]),
+        F.col("tag"),
+    )
+    return drugs.join(attrs, ["doc_id", "sent_id"]).select(
+        "doc_id", "subj", pred.alias("pred"), "obj"
+    )

@@ -1,0 +1,113 @@
+"""Tokenization + sentence segmentation (X1/W3).
+
+The reference pushes one spaCy Doc at a time through a pipeline
+(base_pipeline.py:86-103). Here the tokenizer is a *relational* operator:
+documents → tokens rows, computed two ways with identical output:
+
+  * ``tokenize_native`` — pure DataFrame ops (split/posexplode + window
+    running sums). Whole-stage codegen, zero Python. The hot path for the
+    single-space corpus contract.
+  * ``tokenize_pandas`` — Arrow-batched mapInPandas (iterator form), the
+    scaffold a real spaCy/regex clinical tokenizer
+    (clinical_tokenizer.py:34-59) would plug into. Demonstrates the
+    "vectorized pandas/Arrow UDF stage" of the north star; byte-equal to
+    the native path on the corpus contract (tested).
+
+Sentence boundaries: a '.' token closes a sentence (W3). Offsets are char
+positions into ``text`` with the ``EntTuple`` convention: start inclusive,
+end exclusive (annotations.py:8,58).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SCHEMA = (
+    "doc_id long, sent_id int, tok_id int, idx long, end_idx long, word string"
+)
+
+
+def tokenize_native(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents(id, text) -> tokens(id, sent_id, tok_id, idx, end_idx, word).
+
+    One shuffle (hash on id for the windows); everything else is map-side.
+    """
+    toks = documents.select(
+        id_col, F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    idx = F.coalesce(
+        F.sum(F.length("word") + 1).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    sent_id = F.coalesce(
+        F.sum((F.col("word") == ".").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("int")
+    out = (
+        toks.withColumn("idx", idx)
+        .withColumn("end_idx", (F.col("idx") + F.length("word")).cast("long"))
+        .withColumn("sent_id", sent_id)
+    )
+    w2 = Window.partitionBy(id_col, "sent_id").orderBy("pos")
+    return out.withColumn(
+        "tok_id", (F.row_number().over(w2) - 1).cast("int")
+    ).select(id_col, "sent_id", "tok_id", "idx", "end_idx", "word")
+
+
+def tokenize_pandas(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched tokenizer with the same output as tokenize_native.
+
+    Iterator-of-batches mapInPandas: this is where a real clinical tokenizer
+    (prefix/infix/suffix regexes, clinical_tokenizer.py:34-59) or a spaCy
+    pipeline would run, one Arrow batch at a time, model/broadcast lookups
+    amortized across the batch.
+    """
+    schema = TOKEN_SCHEMA.replace("doc_id long", f"{id_col} long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "sent_id": [], "tok_id": [], "idx": [],
+                "end_idx": [], "word": [],
+            }
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                off = 0
+                sent = 0
+                tok = 0
+                for wtext in text.split(" "):
+                    out[id_col].append(did)
+                    out["sent_id"].append(sent)
+                    out["tok_id"].append(tok)
+                    out["idx"].append(off)
+                    out["end_idx"].append(off + len(wtext))
+                    out["word"].append(wtext)
+                    off += len(wtext) + 1
+                    tok += 1
+                    if wtext == ".":
+                        sent += 1
+                        tok = 0
+            yield pd.DataFrame(out)
+
+    return documents.select(id_col, "text").mapInPandas(run, schema=schema)
+
+
+def sentences(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """tokens -> sentences(id, sent_id, start, end, text)."""
+    return tokens.groupBy(id_col, "sent_id").agg(
+        F.min("idx").alias("start"),
+        F.max("end_idx").alias("end"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_id", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("text"),
+    )
