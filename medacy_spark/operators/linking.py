@@ -1,0 +1,105 @@
+"""Entity linking: mentions -> CUIs (M5, dictionary + embedding tie-break).
+
+The reference links via the external MetaMap binary (metamap.py:113-152),
+whose candidates carry CandidateCUI + SemTypes + ConceptPI spans
+(metamap.py:237-264), overlaid as feature_cui per token
+(metamap_component.py:122-136). Our engine replaces the subprocess with the
+north star's "dictionary + embedding entity linking":
+
+  1. broadcast hash join of normalized mention text against the CUI
+     dictionary (term, cui, sem_types) — the dominant, shuffle-free path;
+  2. ambiguous surfaces (one term -> several CUIs) break ties by cosine
+     similarity between the mention's context embedding and the candidate
+     CUI embedding — both tiny broadcast tables; the similarity is computed
+     JVM-side with zip_with/aggregate, no Python.
+
+Semantic-type filtering reproduces the MetaMap include/exclude predicate
+(metamap.py:206-235).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from medacy_spark.corpus import lexicons as lex
+
+
+def cui_dictionary(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        lex.cui_dictionary_rows(), "term string, cui string, sem_types array<string>"
+    )
+
+
+def cosine(a, b):
+    """JVM-side cosine similarity of two array<float/double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "doc_id",
+    mention_vecs: DataFrame | None = None,
+    cui_vecs: DataFrame | None = None,
+) -> DataFrame:
+    """mentions(id, tag, start, end, text) -> links(id, start, end, text,
+    cui, sem_types).
+
+    Dictionary is broadcast (gazetteer-scale). When embeddings are given,
+    ambiguous surface forms rank candidates by cosine; otherwise the
+    lexicographically smallest CUI wins (deterministic).
+    """
+    m = mentions.select(
+        id_col, "tag", "start", "end", "text", F.lower("text").alias("_norm")
+    )
+    d = F.broadcast(dictionary.select(F.lower("term").alias("_norm"), "cui", "sem_types"))
+    cand = m.join(d, "_norm")
+    if mention_vecs is not None and cui_vecs is not None:
+        mv = mention_vecs.select(id_col, "start", "end", F.col("vec").alias("_mvec"))
+        cv = F.broadcast(cui_vecs.select("cui", F.col("vec").alias("_cvec")))
+        cand = (
+            cand.join(mv, [id_col, "start", "end"], "left")
+            .join(cv, "cui", "left")
+            .withColumn(
+                "_score",
+                F.when(
+                    F.col("_mvec").isNotNull() & F.col("_cvec").isNotNull(),
+                    cosine(F.col("_mvec"), F.col("_cvec")),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        order = [F.col("_score").desc(), F.col("cui").asc()]
+    else:
+        cand = cand.withColumn("_score", F.lit(0.0))
+        order = [F.col("cui").asc()]
+    w = Window.partitionBy(id_col, "start", "end", "tag").orderBy(*order)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "tag", "start", "end", "text", "cui", "sem_types")
+    )
+
+
+def filter_semantic_types(
+    links: DataFrame,
+    include: Sequence[str] = (),
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """MetaMap-style semantic-type predicate (metamap.py:206-235): keep rows
+    whose sem_types intersect `include` (if given) and avoid `exclude`."""
+    out = links
+    if include:
+        out = out.filter(
+            F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in include]))
+        )
+    if exclude:
+        out = out.filter(
+            ~F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in exclude]))
+        )
+    return out

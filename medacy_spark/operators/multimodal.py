@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video travel as opaque `binary` columns with a metadata struct;
+decode/feature-extraction runs in Arrow-batched mapInPandas. The decode
+libraries (PIL/ffmpeg/etc.) are NOT in this container, so the decode step is
+STUBBED — `decode_image_batch` raises NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder exercises the real
+Spark-side plumbing: schema, partition sizing, UDF signature, batch shape.
+
+Contract tested in tests/test_multimodal.py; swapping the fake for PIL is a
+one-function change with zero plan changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = "doc_id long, media_type string, feature array<float>, ok boolean"
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically derive a fake media payload per doc (bytes of the
+    doc id repeated) — real binary column, real metadata struct."""
+    d = F.col(id_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(d, F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.repeat(F.conv(d.cast("string"), 10, 16), 8), "UTF-8").alias("payload"),
+        F.struct(
+            (F.pmod(d, F.lit(64)) + 16).cast("int").alias("width"),
+            (F.pmod(d * 3, F.lit(64)) + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(d, F.lit(30)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: feature = normalized byte
+    histogram over the payload, 16 bins."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+    total = hist.sum()
+    return (hist / total).astype(np.float32) if total else np.zeros(16, np.float32)
+
+
+def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> (doc_id, media_type, feature array<float>, ok).
+
+    Real path requires decode libraries not present in this container:
+    raises NotImplementedError unless fake=True (deterministic fake
+    decoder). The mapInPandas topology — iterator batching, bounded batch
+    memory via arrow.maxRecordsPerBatch, per-row error flagging instead of
+    task failure — is the production shape either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                try:
+                    if not fake:
+                        raise NotImplementedError(
+                            "media decode requires PIL/ffmpeg — not in this container; "
+                            "pass fake=True for the deterministic test decoder"
+                        )
+                    feats.append(
+                        _fake_decode(bytes(payload), meta["width"], meta["height"]).tolist()
+                    )
+                    oks.append(True)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                    "ok": oks,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame-sampling plumbing: explode frame indices 0..n_frames-1
+    step every_n — the distribution-side half of frame extraction (the
+    decode itself is the stub above)."""
+    return media.filter(F.col("media_type") == "video").select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_no"),
+    )

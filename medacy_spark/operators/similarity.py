@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same answer shape:
+
+  * brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+    JVM-side dot products via zip_with/aggregate, per-query top-k via
+    window. The baseline and the oracle.
+  * lsh_bucketed_topk — scale path: random-hyperplane LSH buckets shrink
+    the candidate set; exact rescoring inside buckets. Recall < 1 by
+    design; bucket count trades recall for cost. Hyperplanes are
+    deterministic (hash-seeded), not RNG.
+
+At 100 TB the corpus side stays partitioned; only queries broadcast. An IVF
+variant would k-means the corpus first — the bucketed join below has the
+same plan shape (equi-join on bucket id), so swapping the bucket function
+upgrades it without touching the topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from medacy_spark.operators.linking import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, vec_id, score, rank), rank 1..k per query.
+
+    Ties break on vec_id ascending — deterministic output.
+    """
+    q = F.broadcast(
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(q).select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_no: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: values from a
+    splitmix-style integer mix — no RNG state, reproducible everywhere."""
+    vals = []
+    for j in range(dim):
+        z = (plane_no * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = (z ^ (z >> 30)) * 0x94D049BB133111EB % (1 << 64)
+        vals.append(((z >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return vals
+
+
+def rh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: n_planes sign bits packed into a long."""
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p + 1)])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        out = out + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket;
+    exact cosine rescoring within the bucket. Output shape matches
+    brute_force_topk (ranks may hold < k rows when a bucket is small)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        rh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            rh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+    )
+    scored = c.join(q, "bucket").select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,103 @@
+"""Text analysis: language-ID, quality scoring, token counts, fingerprints.
+
+Corpus-hygiene operators a web-scale training-data pipeline runs before NER
+(not in the reference, which assumes curated clinical .txt files). All pure
+column expressions — wholly JVM-side, codegen'd, trivially partitionable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from medacy_spark.corpus.lexicons import EN_STOPWORDS
+
+_FP_MOD = 1000000007
+_FP_BASE = 31
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored count: splits on whitespace AND at letter/digit/punct
+    boundaries — a cheap proxy for subword token counts."""
+    pieces = F.split(text, r"\s+|(?<=[a-zA-Z])(?=\d)|(?<=\d)(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    words = F.split(F.lower(text), r"\s+")
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    hits = F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(hits / F.size(words))
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality: rewards mid-length docs with English
+    stopword mass and sane punctuation density (Gopher/C4-style filters,
+    reduced to arithmetic)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0)) * F.when(
+        n_tok > 5000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    p = punct_ratio(text)
+    punct_score = F.when(p > 0.2, F.lit(0.2)).otherwise(F.lit(1.0))
+    return (len_score * 0.4 + sw_score * 0.4 + punct_score * 0.2).cast("double")
+
+
+def detect_language(text: Column) -> Column:
+    """Tiny deterministic language heuristic: English if the stopword ratio
+    clears a threshold, else 'unknown'. (A real fastText-style model slots
+    in via mapInPandas with a broadcast model — same column contract.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over words, mod 1e9+7.
+
+    fp = Σ_i  xxhash64(word_i)·B^(i mod 16)   (mod M)
+    — order-sensitive (unlike a bag hash), incremental-friendly, and cheap.
+    The capped exponent keeps the per-word multiplier table constant-folded.
+    """
+    words = F.split(text, " ")
+    powers = [pow(_FP_BASE, e, _FP_MOD) for e in range(16)]
+    pow_arr = F.array(*[F.lit(p) for p in powers])
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    terms = F.zip_with(
+        words,
+        idx,
+        lambda w, i: F.pmod(
+            F.pmod(F.xxhash64(w), F.lit(_FP_MOD))
+            * F.element_at(pow_arr, F.pmod(i, F.lit(16)).cast("int") + 1),
+            F.lit(_FP_MOD),
+        ),
+    )
+    return F.pmod(F.aggregate(terms, F.lit(0).cast("long"), lambda s, v: s + v), F.lit(_FP_MOD))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with the full hygiene profile."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        detect_language(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

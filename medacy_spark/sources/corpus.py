@@ -1,0 +1,44 @@
+"""Corpus sources/sinks.
+
+S1 (directory corpus scan, dataset.py:82-128) becomes table scans; the
+txt/ann/metamapped pairing is a full-outer equi-join on basename, with
+nulls encoding the reference's directory modes (txt-only = to-predict,
+ann-only = gold-only; dataset.py:44-53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCUMENTS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the documents table (parquet/Iceberg). Catalyst pushes filters
+    and prunes columns — e.g. a `text`-only pipeline never reads `html`."""
+    return spark.read.parquet(path)
+
+
+def read_text_dir(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
+    """Raw-directory corpus scan: one row per file (wholetext), basename as
+    doc key — the S1 shape for loose .txt corpora."""
+    df = spark.read.text(f"{path}/{glob}", wholetext=True)
+    return df.select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.[a-z]+$", 1).alias("file_name"),
+        F.col("value").alias("text"),
+    )
+
+
+def pair_corpus_files(txt: DataFrame, ann: DataFrame) -> DataFrame:
+    """J1: full-outer join on file_name; null txt/ann columns encode the
+    reference's directory modes (dataset.py:101-128)."""
+    t = txt.select("file_name", F.col("text").alias("txt"))
+    a = ann.select("file_name", F.col("text").alias("ann"))
+    return t.join(a, "file_name", "full_outer").orderBy("file_name")
+
+
+def write_mentions(mentions: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4: prediction sink — the mentions table partitioned for downstream
+    co-located joins (bucket-by-doc in production Iceberg)."""
+    mentions.write.mode(mode).parquet(path)
