@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship clinical-KG slice on sf0.001: synthesize the
+                clinical web corpus from the testdata doc ids, extract text
+                from html byte-identically, tokenize, detect mentions
+                (gazetteer broadcast join + unit adjacency matchers),
+                extract (Drug, has_*, attr) triples, aggregate per
+                predicate.
+queries()     — one entry per implemented operator family (SURVEY.md §2),
+                each runnable at any sf dir.
+oracle_sql()  — DuckDB-equivalent SQL per query (omitted for ops whose
+                hashing is engine-specific → driver does rows-only checks).
+
+Implementations live in medacy_spark.contract.
 """
 
 from __future__ import annotations
@@ -12,27 +19,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medacy_spark import contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.functions.html import extract_text_expr
+    from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
+    from medacy_spark.operators.relations import extract_triples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    ids = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    docs = clinical_documents(ids)
+    texts = docs.select("doc_id", extract_text_expr(F.col("html")).alias("text"))
+    toks = tokenize_native(texts)
+    mentions = detect_mentions(toks, gazetteer_df(spark))
+    triples = extract_triples(mentions)
+    return triples.groupBy("pred").agg(F.count("*").alias("n_triples")).orderBy("pred")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return contract.oracle_sql()

@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+Headline set = the flagship clinical-KG pipeline plus one representative
+query per operator family (scan/agg/join/window/set/dedup/ANN/scoring/CC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "clinical_triples",        # full KG pipeline: synth → extract → tokenize → mentions → triples
+    "clinical_mention_counts", # detection + aggregation
+    "measures_lenient",        # greedy scorer (Arrow cogroup)
+    "measures_strict",         # scorer, pure DataFrame
+    "island_merge",            # gaps-and-islands window
+    "lenient_intersection",    # span θ-join
+    "containment_pairs",       # bucketed interval join
+    "ambiguity_counts",        # overlap self-join
+    "pricing_summary",         # wide aggregation
+    "top_orders",              # 3-way join + top-k
+    "events_running_sum",      # analytic window
+    "nation_rollup",           # grouping sets
+    "exact_dup_groups",        # exact dedup
+    "minhash_lsh",             # sketch dedup
+    "ngram_jaccard",           # exact near-dup verify
+    "simhash_candidates",      # simhash dedup
+    "embedding_topk",          # brute-force ANN
+    "embedding_topk_lsh",      # bucketed ANN
+    "text_hygiene",            # corpus hygiene profile
+    "doc_fingerprints",        # rolling-hash fingerprints
+    "connected_components",    # iterative canonicalization
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from medacy_spark import contract
+    from medacy_spark.session import get_spark
+
+    spark = get_spark(app_name="medacy_spark_bench", cores=cpus)
+    qs = contract.queries()
+
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        if name == "clinical_triples":
+            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            clinical_sec = timings[name]
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / clinical_sec, 1) if n_docs and clinical_sec else None
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_pipeline_docs_per_sec": docs_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

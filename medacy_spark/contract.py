@@ -1,0 +1,915 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 gets a (queries(), oracle_sql())
+pair runnable on the driver's testdata tables. Because those tables are
+generic (random-word documents, TPC-H-ish facts), the mention/annotation
+relations are *derived deterministically* from `documents` with arithmetic
+that both engines compute identically:
+
+  tokens  — split text on single spaces; pos 1-based; char offsets by
+            window running sum (the corpus contract: single-space joins).
+  gold    — tokens whose word is a KEYWORD (tag = word).
+  pred    — controlled perturbation of gold keyed by k = doc_id + pos:
+            k%11==0 dropped (fn), k%7==0 span shifted +1 (lenient-only
+            match), k%13==0 tag swapped to the next keyword (confusion),
+            plus hallucinated mentions from non-keyword tokens (k%17==0).
+  phrase  — keyword token + its successor as a 'P_<word>' mention
+            (overlaps gold → ambiguity/containment workloads).
+
+The clinical queries re-derive the synthetic clinical corpus from doc_id
+arithmetic (corpus/synth.py) — the Spark side runs the REAL extraction
+pipeline over the generated text; the oracle recomputes the expected
+triples from the arithmetic directly. Matching = the extractor's P/R is
+exactly 1.0 on the clean corpus.
+
+Ops whose hashes are engine-specific (xxhash64-based minhash/simhash/LSH)
+have no oracle entry → the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from medacy_spark.corpus import lexicons as lex
+
+KEYWORDS = ["join", "filter", "sort", "scan", "merge", "group", "window", "hash"]
+STOPSET = ["the", "a"]
+
+# ---------------------------------------------------------------- Spark side
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word"))
+    t = t.withColumn("pos", (F.col("p0") + 1).cast("long")).drop("p0")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    start = F.coalesce(
+        F.sum(F.length("word") + 1).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return t.withColumn("start", start).withColumn(
+        "end", (F.col("start") + F.length("word")).cast("long")
+    )
+
+
+def gold_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens_df(spark, sf_dir)
+    return t.filter(F.col("word").isin(KEYWORDS)).select(
+        "doc_id", F.col("word").alias("tag"), "start", "end",
+        F.col("word").alias("text"), "pos",
+    )
+
+
+def _swap_expr(col):
+    m = {KEYWORDS[i]: KEYWORDS[(i + 1) % len(KEYWORDS)] for i in range(len(KEYWORDS))}
+    expr = F.col(col)
+    for k, v in m.items():
+        expr = F.when(F.col(col) == k, F.lit(v)).otherwise(expr)
+    # build properly: chained whens
+    expr = None
+    for k, v in m.items():
+        expr = F.when(F.col(col) == k, F.lit(v)) if expr is None else expr.when(F.col(col) == k, F.lit(v))
+    return expr.otherwise(F.col(col))
+
+
+def _kw_pick(kcol):
+    arr = F.array(*[F.lit(k) for k in KEYWORDS])
+    return F.element_at(arr, (kcol % len(KEYWORDS) + 1).cast("int"))
+
+
+def pred_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens_df(spark, sf_dir).withColumn("k", F.col("doc_id") + F.col("pos"))
+    kept = t.filter(F.col("word").isin(KEYWORDS) & (F.col("k") % 11 != 0))
+    kept = kept.select(
+        "doc_id",
+        F.when(F.col("k") % 13 == 0, _swap_expr("word")).otherwise(F.col("word")).alias("tag"),
+        F.when(F.col("k") % 7 == 0, F.col("start") + 1).otherwise(F.col("start")).alias("start"),
+        F.when(F.col("k") % 7 == 0, F.col("end") + 1).otherwise(F.col("end")).alias("end"),
+        F.col("word").alias("text"),
+    )
+    halluc = t.filter(~F.col("word").isin(KEYWORDS) & (F.col("k") % 17 == 0)).select(
+        "doc_id", _kw_pick(F.col("k")).alias("tag"), "start", "end",
+        F.col("word").alias("text"),
+    )
+    return kept.unionByName(halluc)
+
+
+def phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens_df(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = t.withColumn("nxt_word", F.lead("word").over(w)).withColumn(
+        "nxt_end", F.lead("end").over(w)
+    )
+    return t.filter(F.col("word").isin(KEYWORDS) & F.col("nxt_word").isNotNull()).select(
+        "doc_id",
+        F.concat(F.lit("P_"), F.col("word")).alias("tag"),
+        "start",
+        F.col("nxt_end").alias("end"),
+        F.concat_ws(" ", "word", "nxt_word").alias("text"),
+    )
+
+
+# ------------------------------------------------------------- DuckDB CTEs
+
+def _sql_list(xs):
+    return ", ".join(f"'{x}'" for x in xs)
+
+
+def _swap_case_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN '{KEYWORDS[i]}' THEN '{KEYWORDS[(i + 1) % len(KEYWORDS)]}'"
+        for i in range(len(KEYWORDS))
+    )
+    return f"CASE {col} {cases} ELSE {col} END"
+
+
+def _kw_pick_sql(expr: str) -> str:
+    cases = " ".join(f"WHEN {i} THEN '{KEYWORDS[i]}'" for i in range(len(KEYWORDS)))
+    return f"CASE ({expr}) % {len(KEYWORDS)} {cases} END"
+
+
+BASE_CTES = f"""
+WITH _raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tokens AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+         CAST(coalesce(sum(length(word)+1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+         CAST(coalesce(sum(length(word)+1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(word) AS BIGINT) AS "end"
+  FROM _raw
+),
+gold AS (
+  SELECT doc_id, word AS tag, start, "end", word AS text, pos
+  FROM tokens WHERE word IN ({_sql_list(KEYWORDS)})
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id + pos) % 13 = 0 THEN {_swap_case_sql('word')} ELSE word END AS tag,
+         CAST(CASE WHEN (doc_id + pos) % 7 = 0 THEN start + 1 ELSE start END AS BIGINT) AS start,
+         CAST(CASE WHEN (doc_id + pos) % 7 = 0 THEN "end" + 1 ELSE "end" END AS BIGINT) AS "end",
+         word AS text
+  FROM tokens
+  WHERE word IN ({_sql_list(KEYWORDS)}) AND (doc_id + pos) % 11 <> 0
+  UNION ALL
+  SELECT doc_id, {_kw_pick_sql('doc_id + pos')} AS tag, start, "end", word AS text
+  FROM tokens
+  WHERE word NOT IN ({_sql_list(KEYWORDS)}) AND (doc_id + pos) % 17 = 0
+),
+phrase AS (
+  SELECT doc_id, 'P_' || word AS tag, start,
+         CAST(lead("end") OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS "end",
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS text
+  FROM tokens
+  QUALIFY word IN ({_sql_list(KEYWORDS)}) AND lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)
+"""
+
+# ------------------------------------------------------------------ queries
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ---- P1/A1: distinct labels + counts
+
+
+@q("mention_counts", BASE_CTES + """
+SELECT tag, CAST(count(*) AS BIGINT) AS cnt FROM gold GROUP BY tag ORDER BY tag
+""")
+def q_mention_counts(spark, sf):
+    from medacy_spark.operators.annotations import counts
+    return counts(gold_df(spark, sf)).withColumnRenamed("cnt", "cnt").orderBy("tag")
+
+
+@q("label_distinct", BASE_CTES + """
+SELECT DISTINCT tag FROM (SELECT tag FROM gold UNION ALL SELECT tag FROM pred) ORDER BY tag
+""")
+def q_label_distinct(spark, sf):
+    from medacy_spark.operators.annotations import labels
+    g = gold_df(spark, sf).select("tag")
+    p = pred_df(spark, sf).select("tag")
+    return labels(g.unionByName(p)).orderBy("tag")
+
+
+# ---- J3/J4/U1: exact set algebra
+
+
+_KEYCOLS = 'doc_id, tag, start, "end", text'
+
+
+@q("exact_difference", BASE_CTES + f"""
+SELECT DISTINCT {_KEYCOLS} FROM gold
+EXCEPT
+SELECT {_KEYCOLS} FROM pred
+""")
+def q_exact_difference(spark, sf):
+    from medacy_spark.operators.annotations import exact_difference
+    return exact_difference(gold_df(spark, sf), pred_df(spark, sf))
+
+
+@q("exact_intersection", BASE_CTES + f"""
+SELECT DISTINCT {_KEYCOLS} FROM gold
+INTERSECT
+SELECT {_KEYCOLS} FROM pred
+""")
+def q_exact_intersection(spark, sf):
+    from medacy_spark.operators.annotations import exact_intersection
+    return exact_intersection(gold_df(spark, sf), pred_df(spark, sf))
+
+
+@q("union_dedup", BASE_CTES + f"""
+SELECT DISTINCT {_KEYCOLS} FROM (
+  SELECT {_KEYCOLS} FROM gold UNION ALL SELECT {_KEYCOLS} FROM pred)
+""")
+def q_union_dedup(spark, sf):
+    from medacy_spark.operators.annotations import union_dedup
+    return union_dedup(gold_df(spark, sf), pred_df(spark, sf))
+
+
+# ---- J5: lenient containment intersection (leniency window)
+
+
+@q("lenient_intersection", BASE_CTES + """
+SELECT DISTINCT g.doc_id, g.tag, g.start, g."end", g.text
+FROM gold g
+WHERE EXISTS (
+  SELECT 1 FROM pred p
+  WHERE p.doc_id = g.doc_id AND p.tag = g.tag
+    AND g.start - CAST(ceil(0.2 * (g."end" - g.start)) AS BIGINT) <= p.start
+    AND g."end" + CAST(ceil(0.2 * (g."end" - g.start)) AS BIGINT) >= p."end")
+""")
+def q_lenient_intersection(spark, sf):
+    from medacy_spark.operators.annotations import lenient_intersection
+    return lenient_intersection(gold_df(spark, sf), pred_df(spark, sf), leniency=0.2)
+
+
+# ---- J6/A11: ambiguity (overlap, different tags) over gold ∪ phrase
+
+
+@q("ambiguity_counts", BASE_CTES + """
+, ments AS (
+  SELECT doc_id, tag, start, "end" FROM gold
+  UNION ALL SELECT doc_id, tag, start, "end" FROM phrase)
+SELECT a.tag AS tag_a, b.tag AS tag_b, CAST(count(*) AS BIGINT) AS cnt
+FROM ments a JOIN ments b
+  ON a.doc_id = b.doc_id AND a.tag <> b.tag
+ AND greatest(0, least(a."end", b."end") - greatest(a.start, b.start)) <> 0
+ AND (a.start < b.start OR (a.start = b.start AND (a."end" < b."end"
+      OR (a."end" = b."end" AND a.tag < b.tag))))
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q_ambiguity_counts(spark, sf):
+    from medacy_spark.operators.annotations import ambiguity
+    g = gold_df(spark, sf).select("doc_id", "tag", "start", "end", "text")
+    p = phrase_df(spark, sf).select("doc_id", "tag", "start", "end", "text")
+    m = g.unionByName(p)
+    pairs = ambiguity(m, m, self_compare=True)
+    return (
+        pairs.groupBy("tag_a", "tag_b").agg(F.count("*").alias("cnt"))
+        .orderBy("tag_a", "tag_b")
+    )
+
+
+# ---- A2: confusion cells (unpivoted)
+
+
+@q("confusion_cells", BASE_CTES + """
+SELECT g.tag AS gold_tag, p.tag AS sys_tag, CAST(count(*) AS BIGINT) AS cnt
+FROM gold g JOIN pred p ON g.doc_id = p.doc_id
+ AND ((g.tag = p.tag AND g.start <= p.start AND g."end" >= p."end")
+   OR (g.tag <> p.tag AND greatest(0, least(g."end", p."end") - greatest(g.start, p.start)) <> 0))
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q_confusion_cells(spark, sf):
+    from medacy_spark.functions.spans import lenient_contains, overlap_len
+    g = gold_df(spark, sf).select(
+        F.col("doc_id").alias("id"), F.col("tag").alias("gold_tag"),
+        F.col("start").alias("gs"), F.col("end").alias("ge"))
+    p = pred_df(spark, sf).select(
+        F.col("doc_id").alias("id2"), F.col("tag").alias("sys_tag"),
+        F.col("start").alias("ps"), F.col("end").alias("pe"))
+    same = (F.col("gold_tag") == F.col("sys_tag")) & lenient_contains(
+        F.col("gs"), F.col("ge"), F.col("ps"), F.col("pe"), 0.0)
+    diff = (F.col("gold_tag") != F.col("sys_tag")) & (
+        overlap_len(F.col("gs"), F.col("ge"), F.col("ps"), F.col("pe")) != 0)
+    return (
+        g.join(p, (F.col("id") == F.col("id2")) & (same | diff))
+        .groupBy("gold_tag", "sys_tag").agg(F.count("*").alias("cnt"))
+        .orderBy("gold_tag", "sys_tag")
+    )
+
+
+# ---- J10/A3/A4: measures + P/R/F1, strict & lenient, with micro rollup
+
+
+_MEASURES_TAIL = """
+, gtot AS (SELECT tag, CAST(count(*) AS BIGINT) AS g FROM gold GROUP BY tag),
+stot AS (SELECT tag, CAST(count(*) AS BIGINT) AS s FROM pred GROUP BY tag),
+tptag AS (SELECT tag, CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(consumed) AS BIGINT) AS consumed
+          FROM key_tp GROUP BY tag),
+per_tag AS (
+  SELECT coalesce(gt.tag, st.tag) AS tag,
+         coalesce(tp, 0) AS tp,
+         coalesce(s, 0) - coalesce(consumed, 0) AS fp,
+         coalesce(g, 0) - coalesce(tp, 0) AS fn
+  FROM gtot gt FULL OUTER JOIN stot st ON gt.tag = st.tag
+  LEFT JOIN tptag tt ON coalesce(gt.tag, st.tag) = tt.tag),
+all_rows AS (
+  SELECT tag, tp, fp, fn FROM per_tag
+  UNION ALL
+  SELECT 'system', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT) FROM per_tag)
+SELECT tag, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CASE WHEN (CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END
+               + CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END) = 0 THEN 0.0
+       ELSE 2.0 * (CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
+                * (CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)
+            / ((CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
+             + (CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)) END AS f1
+FROM all_rows ORDER BY tag
+"""
+
+
+@q("measures_strict", BASE_CTES + """
+, gc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM gold GROUP BY ALL),
+sc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM pred GROUP BY ALL),
+key_tp AS (
+  SELECT gc.tag, least(gc.c, sc.c) AS tp, sc.c AS consumed
+  FROM gc JOIN sc ON gc.doc_id = sc.doc_id AND gc.tag = sc.tag
+   AND gc.start = sc.start AND gc."end" = sc."end")
+""" + _MEASURES_TAIL)
+def q_measures_strict(spark, sf):
+    from medacy_spark.operators.scoring import measures, with_prf
+    return with_prf(measures(gold_df(spark, sf), pred_df(spark, sf), mode="strict"))
+
+
+@q("measures_lenient", BASE_CTES + """
+, key_tp AS (
+  -- by construction each pred overlaps ≤1 gold and vice versa, so the
+  -- greedy 1:1 pass degenerates to the plain overlap join
+  SELECT g.tag, 1 AS tp, 1 AS consumed
+  FROM gold g JOIN pred p
+    ON g.doc_id = p.doc_id AND g.tag = p.tag
+   AND p.start < g."end" AND g.start < p."end")
+""" + _MEASURES_TAIL)
+def q_measures_lenient(spark, sf):
+    from medacy_spark.operators.scoring import measures, with_prf
+    return with_prf(measures(gold_df(spark, sf), pred_df(spark, sf), mode="lenient"))
+
+
+# ---- A7: lexical variation over pred
+
+
+@q("lexical_variation", BASE_CTES + """
+SELECT tag, CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(count(DISTINCT text) AS DOUBLE) / count(*) AS variation
+FROM pred GROUP BY tag ORDER BY tag
+""")
+def q_lexical_variation(spark, sf):
+    from medacy_spark.operators.annotations import lexical_variation
+    return lexical_variation(pred_df(spark, sf)).orderBy("tag")
+
+
+# ---- W5/S3/F9: BRAT writer lines
+
+
+@q("ann_lines", BASE_CTES + """
+SELECT doc_id,
+       printf('T%d\t%s %d %d\t%s',
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end") AS INT),
+              tag, start, "end", replace(text, chr(10), ' ')) AS line
+FROM gold ORDER BY doc_id, line
+""")
+def q_ann_lines(spark, sf):
+    from medacy_spark.operators.annotations import to_ann_lines
+    return to_ann_lines(gold_df(spark, sf)).orderBy("doc_id", "line")
+
+
+# ---- S2/F1: BRAT parse round-trip
+
+
+@q("brat_roundtrip", BASE_CTES + """
+, lines AS (
+  SELECT doc_id,
+         printf('T%d\t%s %d %d\t%s',
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end") AS INT),
+                tag, start, "end", text) AS line
+  FROM gold)
+SELECT doc_id,
+       regexp_extract(line, '^T\\d+\t(\\S+)', 1) AS tag,
+       CAST(regexp_extract(line, '^T\\d+\t\\S+ (\\d+)', 1) AS BIGINT) AS start,
+       CAST(regexp_extract(line, '^T\\d+\t\\S+ \\d+ (\\d+)', 1) AS BIGINT) AS "end",
+       regexp_extract(line, '\t([^\t]*)$', 1) AS text
+FROM lines
+""")
+def q_brat_roundtrip(spark, sf):
+    from medacy_spark.operators.annotations import from_ann_lines, to_ann_lines
+    lines = to_ann_lines(gold_df(spark, sf))
+    return from_ann_lines(lines)
+
+
+# ---- W2: island merge of consecutive keyword labels
+
+
+@q("island_merge", BASE_CTES + """
+, lab AS (
+  SELECT doc_id, pos, word, start, "end",
+         CASE WHEN word IN ({kw}) THEN word ELSE 'O' END AS label
+  FROM tokens),
+chg AS (
+  SELECT *, CASE WHEN label IS DISTINCT FROM
+                 lag(label) OVER (PARTITION BY doc_id ORDER BY pos)
+            THEN 1 ELSE 0 END AS changed
+  FROM lab),
+seg AS (
+  SELECT *, sum(changed) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+  FROM chg)
+SELECT doc_id, label AS tag,
+       CAST(min(start) AS BIGINT) AS start, CAST(max("end") AS BIGINT) AS "end",
+       string_agg(word, ' ' ORDER BY pos) AS text
+FROM seg WHERE label <> 'O'
+GROUP BY doc_id, seg_id, label
+""".format(kw=_sql_list(KEYWORDS)))
+def q_island_merge(spark, sf):
+    from medacy_spark.operators.sequence import island_merge
+    t = tokens_df(spark, sf).withColumn(
+        "label",
+        F.when(F.col("word").isin(KEYWORDS), F.col("word")).otherwise(F.lit("O")),
+    )
+    return island_merge(
+        t, part_cols=["doc_id"], order_cols=["pos"], label_col="label",
+        start_col="start", end_col="end", text_col="word",
+    ).select("doc_id", "tag", "start", "end", "text")
+
+
+# ---- W1: neighbor feature window (±1) for keyword tokens
+
+
+@q("feature_window", BASE_CTES + """
+SELECT doc_id, pos, word,
+       lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next1
+FROM tokens QUALIFY word IN ({kw})
+""".format(kw=_sql_list(KEYWORDS)))
+def q_feature_window(spark, sf):
+    t = tokens_df(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        t.withColumn("prev1", F.lag("word").over(w))
+        .withColumn("next1", F.lead("word").over(w))
+        .filter(F.col("word").isin(KEYWORDS))
+        .select("doc_id", "pos", "word", "prev1", "next1")
+    )
+
+
+# ---- W7: adjacency pattern (keyword followed by keyword)
+
+
+@q("adjacency_pairs", BASE_CTES + """
+SELECT doc_id, word AS subj, 'next_to' AS pred,
+       lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS obj,
+       start
+FROM tokens
+QUALIFY word IN ({kw}) AND lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IN ({kw})
+""".format(kw=_sql_list(KEYWORDS)))
+def q_adjacency_pairs(spark, sf):
+    t = tokens_df(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = t.withColumn("obj", F.lead("word").over(w))
+    return t.filter(
+        F.col("word").isin(KEYWORDS) & F.col("obj").isin(KEYWORDS)
+    ).select("doc_id", F.col("word").alias("subj"), F.lit("next_to").alias("pred"), "obj", "start")
+
+
+# ---- J8: gazetteer broadcast join
+
+
+_GAZ = {k: ("relational" if i < 4 else "analytic") for i, k in enumerate(KEYWORDS)}
+
+
+@q("gazetteer_match", BASE_CTES + """
+, gaz AS (SELECT * FROM (VALUES {vals}) AS t(term, category))
+SELECT category, CAST(count(*) AS BIGINT) AS hits
+FROM tokens JOIN gaz ON tokens.word = gaz.term
+GROUP BY category ORDER BY category
+""".format(vals=", ".join(f"('{k}', '{v}')" for k, v in _GAZ.items())))
+def q_gazetteer_match(spark, sf):
+    t = tokens_df(spark, sf)
+    gaz = t.sparkSession.createDataFrame(
+        list(_GAZ.items()), "term string, category string"
+    )
+    return (
+        t.join(F.broadcast(gaz), t.word == gaz.term)
+        .groupBy("category").agg(F.count("*").alias("hits"))
+        .orderBy("category")
+    )
+
+
+# ---- J7: containment join (gold token mentions inside phrase mentions)
+
+
+@q("containment_pairs", BASE_CTES + """
+SELECT g.doc_id, g.tag AS inner_tag, g.start AS inner_start,
+       p.tag AS outer_tag, p.start AS outer_start, p."end" AS outer_end
+FROM gold g JOIN phrase p
+  ON g.doc_id = p.doc_id AND g.start >= p.start AND g."end" <= p."end"
+""")
+def q_containment_pairs(spark, sf):
+    from medacy_spark.operators.intervals import containment_join
+    g = gold_df(spark, sf).select("doc_id", "tag", "start", "end")
+    p = phrase_df(spark, sf).select("doc_id", "tag", "start", "end")
+    j = containment_join(g, p, id_col="doc_id", bucket=64)
+    return j.select(
+        "doc_id",
+        F.col("l_tag").alias("inner_tag"), F.col("l_start").alias("inner_start"),
+        F.col("r_tag").alias("outer_tag"), F.col("r_start").alias("outer_start"),
+        F.col("r_end").alias("outer_end"),
+    )
+
+
+# ---- TPC-H-ish generic operator checks
+
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+       CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q("top_orders", """
+SELECT o.o_orderkey AS orderkey,
+       CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, orderkey ASC LIMIT 10
+""")
+def q_top_orders(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@q("nation_rollup", """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       CAST(count(*) AS BIGINT) AS customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation
+""")
+def q_nation_rollup(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "customers",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@q("events_running_sum", """
+SELECT event_id, user_id,
+       CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+FROM events
+""")
+def q_events_running_sum(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select("event_id", "user_id", F.sum("value").over(w).alias("running"))
+
+
+# ---- dedup family
+
+
+@q("exact_dup_groups", """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS rep, CAST(count(*) AS BIGINT) AS n
+FROM doubled GROUP BY text HAVING count(*) > 1 ORDER BY rep
+""")
+def q_exact_dup_groups(spark, sf):
+    d = _docs(spark, sf).select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (
+        doubled.groupBy("text")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("rep", "n")
+        .orderBy("rep")
+    )
+
+
+@q("ngram_jaccard", BASE_CTES + """
+, sh AS (
+  SELECT DISTINCT t1.doc_id AS id,
+         t1.word || ' ' || t2.word || ' ' || t3.word AS shingle
+  FROM tokens t1
+  JOIN tokens t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tokens t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+  WHERE t1.doc_id < 150),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3
+ORDER BY id_a, id_b
+""")
+def q_ngram_jaccard(spark, sf):
+    from medacy_spark.operators.dedup import ngram_jaccard_pairs
+    d = _docs(spark, sf).filter(F.col("doc_id") < 150)
+    # docs shorter than 3 words produce a single degenerate shingle in the
+    # Spark path; the SQL self-join drops them — filter to ≥3 tokens in both
+    d = d.filter(F.size(F.split("text", " ")) >= 3)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@q("minhash_lsh")  # engine-specific hashing: rows-only check
+def q_minhash_lsh(spark, sf):
+    from medacy_spark.operators.dedup import minhash_lsh_candidates
+    d = _docs(spark, sf).filter(F.col("doc_id") < 150)
+    return minhash_lsh_candidates(d).orderBy("id_a", "id_b")
+
+
+@q("simhash_candidates")  # engine-specific hashing: rows-only check
+def q_simhash_candidates(spark, sf):
+    from medacy_spark.operators.dedup import simhash_candidates
+    d = _docs(spark, sf).filter(F.col("doc_id") < 150)
+    return simhash_candidates(d).orderBy("id_a", "id_b")
+
+
+# ---- similarity search
+
+
+@q("embedding_topk", """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(list_cosine_similarity(q.q_vec, e.embedding) AS DOUBLE) AS score
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+""")
+def q_embedding_topk(spark, sf):
+    from medacy_spark.operators.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # score excluded from the hash compare (float rounding differs in the
+    # 15th digit between engines); rank is the verified output
+    return brute_force_topk(emb, qs, k=10).select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+@q("embedding_topk_lsh")  # approximate + engine-specific buckets: rows-only
+def q_embedding_topk_lsh(spark, sf):
+    from medacy_spark.operators.similarity import lsh_bucketed_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return lsh_bucketed_topk(emb, qs, dim=64, k=10).select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+# ---- text hygiene
+
+
+@q("text_hygiene", """
+WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+prof AS (
+  SELECT doc_id, lang, len(ws) AS n_tokens,
+         CAST(len(list_filter(ws, w -> w IN ({stops}))) AS DOUBLE) / len(ws) AS swr
+  FROM words)
+SELECT CASE WHEN swr >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(avg(n_tokens) AS DOUBLE) AS avg_tokens
+FROM prof GROUP BY 1 ORDER BY 1
+""".format(stops=_sql_list(lex.EN_STOPWORDS)))
+def q_text_hygiene(spark, sf):
+    from medacy_spark.operators.textstats import detect_language, token_count
+    d = _docs(spark, sf)
+    prof = d.select(
+        detect_language(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        prof.groupBy("lang_pred")
+        .agg(F.count("*").alias("docs"), F.avg("n_tokens").alias("avg_tokens"))
+        .orderBy("lang_pred")
+    )
+
+
+@q("doc_fingerprints")  # xxhash64-based: rows-only check
+def q_doc_fingerprints(spark, sf):
+    from medacy_spark.operators.textstats import doc_fingerprint
+    return _docs(spark, sf).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---- connected components (oracle: recursive CTE on a small arithmetic graph)
+
+
+@q("connected_components", """
+WITH RECURSIVE nodes AS (SELECT doc_id AS n FROM documents WHERE doc_id < 120),
+edges AS (
+  SELECT doc_id AS a, (doc_id * 2) % 120 AS b FROM documents
+  WHERE doc_id < 120 AND doc_id % 3 = 0),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, und.b FROM reach JOIN und ON reach.r = und.a)
+SELECT CAST(n AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY n ORDER BY node
+""")
+def q_connected_components(spark, sf):
+    from medacy_spark.operators.graph import connected_components
+    d = _docs(spark, sf).filter(F.col("doc_id") < 120).select("doc_id")
+    edges = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 2) % 120).alias("dst")
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(edges)
+    # isolated nodes (no edges) are their own component
+    out = nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+    return out.orderBy("node")
+
+
+# ---- clinical pipeline: real extraction vs arithmetic oracle
+
+
+def _clin_sql() -> str:
+    def pick(arr, off):
+        cases = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(arr))
+        return f"CASE (h + {off}) % {len(arr)} {cases} END"
+
+    return f"""
+WITH sents AS (
+  SELECT doc_id,
+         unnest(generate_series(0, doc_id % 3)) AS sent_id
+  FROM documents),
+feat AS (
+  SELECT doc_id, sent_id, (doc_id * 131 + sent_id * 17) AS h FROM sents),
+vals AS (
+  SELECT doc_id, sent_id, h % 3 AS kind,
+         {pick(lex.DRUGS, 1)} AS drug,
+         CAST(((h * 7 + 3) % 99) * 5 + 5 AS VARCHAR) AS num,
+         {pick(lex.DOSE_UNITS, 2)} AS unit,
+         {pick(lex.ROUTES, 3)} AS route,
+         {pick(lex.FREQUENCIES, 4)} AS freq,
+         CAST((h + 5) % 9 + 2 AS VARCHAR) AS dnum,
+         {pick(lex.TIME_UNITS, 6)} AS timeunit,
+         {pick(lex.ADES, 7)} AS ade
+  FROM feat)
+SELECT doc_id, drug AS subj_text, 'has_dosage' AS pred, num || ' ' || unit AS obj_text
+  FROM vals WHERE kind IN (0, 1)
+UNION ALL
+SELECT doc_id, drug, 'has_route', route FROM vals WHERE kind IN (0, 1)
+UNION ALL
+SELECT doc_id, drug, 'has_frequency', freq FROM vals WHERE kind IN (0, 1)
+UNION ALL
+SELECT doc_id, drug, 'has_duration', dnum || ' ' || timeunit FROM vals WHERE kind = 1
+UNION ALL
+SELECT doc_id, drug, 'has_ade', ade FROM vals WHERE kind = 2
+"""
+
+
+@q("clinical_triples", _clin_sql())
+def q_clinical_triples(spark, sf):
+    """Runs the REAL pipeline — synth corpus → html wrap/extract → tokenize
+    → gazetteer + unit matchers → mentions → nearest-drug triples — while
+    the oracle recomputes the expected triples arithmetically. Row-exact
+    match ⇔ extraction P/R = 1.0 on the clean corpus (≥0.95 north rule)."""
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.functions.html import extract_text_expr
+    from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
+    from medacy_spark.operators.relations import extract_triples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    ids = _docs(spark, sf).select("doc_id")
+    docs = clinical_documents(ids)
+    # consume text via the html extraction path (byte-identity exercised)
+    texts = docs.select("doc_id", extract_text_expr(F.col("html")).alias("text"))
+    toks = tokenize_native(texts)
+    m = detect_mentions(toks, gazetteer_df(spark))
+    tri = extract_triples(m)
+    return tri.select(
+        "doc_id",
+        F.col("subj.text").alias("subj_text"),
+        "pred",
+        F.col("obj.text").alias("obj_text"),
+    )
+
+
+@q("clinical_mention_counts", f"""
+WITH sents AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS sent_id FROM documents),
+feat AS (SELECT doc_id, sent_id, (doc_id * 131 + sent_id * 17) % 3 AS kind FROM sents),
+per_sent AS (
+  SELECT doc_id, sent_id,
+         CASE kind WHEN 0 THEN 4 WHEN 1 THEN 5 ELSE 2 END AS n_mentions
+  FROM feat)
+SELECT t.tag, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT doc_id, 'Drug' AS tag FROM feat
+  UNION ALL SELECT doc_id, 'Dose' FROM feat WHERE kind IN (0,1)
+  UNION ALL SELECT doc_id, 'Route' FROM feat WHERE kind IN (0,1)
+  UNION ALL SELECT doc_id, 'Frequency' FROM feat WHERE kind IN (0,1)
+  UNION ALL SELECT doc_id, 'Duration' FROM feat WHERE kind = 1
+  UNION ALL SELECT doc_id, 'ADE' FROM feat WHERE kind = 2) t
+GROUP BY t.tag ORDER BY t.tag
+""")
+def q_clinical_mention_counts(spark, sf):
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    ids = _docs(spark, sf).select("doc_id")
+    docs = clinical_documents(ids)
+    toks = tokenize_native(docs.select("doc_id", "text"))
+    m = detect_mentions(toks, gazetteer_df(spark))
+    return m.groupBy("tag").agg(F.count("*").alias("cnt")).orderBy("tag")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

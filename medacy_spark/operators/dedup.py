@@ -73,6 +73,39 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, m0..m{n-1}): minhash signature as flat columns.
+
+    Shape chosen for codegen (same lesson as simhash): explode the base
+    shingle hashes once, then ONE groupBy with num_hashes vectorized min
+    aggregates — map-side partial aggregation collapses each doc's
+    shingles before the exchange, so the shuffle carries one row per doc.
+    """
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+            )
+        ).alias("h"),
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 1000003 * (i + 1)
+        aggs.append(
+            F.min(F.pmod(F.col("h") * a + b, F.lit(_MH_PRIME))).alias(f"m{i}")
+        )
+    return h.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -88,24 +121,14 @@ def minhash_lsh_candidates(
     number of colliding bands (a cheap similarity proxy).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
+    band_buckets = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)])
+        ).alias(f"bb{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket"))
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
