@@ -135,6 +135,28 @@ def ambiguity(
     )
 
 
+def ambiguity_entities(a: DataFrame, b: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reference-exact ambiguity count semantics (annotations.py:174-195):
+    the result is a dict keyed by the LEFT entity, so `len(ambiguity)` is
+    the number of distinct left mentions having ≥1 overlapping mention with
+    a different label in `b` — directional, no pair dedup (golden 25→26 of
+    test_annotation.py:95-105). Returns the distinct left mention rows."""
+    left = a.select(
+        F.col(id_col).alias("id"), F.col("tag").alias("tag_a"),
+        F.col("start").alias("start_a"), F.col("end").alias("end_a"),
+        F.col("text").alias("text_a"),
+    )
+    right = b.select(
+        F.col(id_col).alias("id2"), F.col("tag").alias("tag_b"),
+        F.col("start").alias("start_b"), F.col("end").alias("end_b"),
+    )
+    ov = overlap_len(
+        F.col("start_a"), F.col("end_a"), F.col("start_b"), F.col("end_b")
+    )
+    cond = (F.col("id") == F.col("id2")) & (F.col("tag_a") != F.col("tag_b")) & (ov != 0)
+    return left.join(right, cond, "left_semi").distinct()
+
+
 def confusion_matrix(
     gold: DataFrame,
     system: DataFrame,

@@ -75,30 +75,32 @@ def triples_to_brat_lines(triples: DataFrame, mentions: DataFrame, id_col: str =
     order (annotations.py:105 / W5), then format
     `R{n}\\t{pred} Arg1:T{subj} Arg2:T{obj}` (add_rel_to_brat.py:154)."""
     wnum = Window.partitionBy(id_col).orderBy("start", "end")
-    numbered = mentions.select(
-        id_col, "tag", "start", "end"
-    ).distinct().withColumn("t_num", F.row_number().over(wnum))
+    numbered = (
+        mentions.select(id_col, "start", "end").distinct()
+        .withColumn("t_num", F.row_number().over(wnum))
+    )
     t1 = numbered.select(
-        id_col,
+        F.col(id_col).alias("_id1"),
         F.col("start").alias("s1"), F.col("end").alias("e1"),
         F.col("t_num").alias("subj_t"),
     )
     t2 = numbered.select(
-        id_col,
+        F.col(id_col).alias("_id2"),
         F.col("start").alias("s2"), F.col("end").alias("e2"),
         F.col("t_num").alias("obj_t"),
     )
-    j = (
-        triples.join(t1, (triples[id_col] == t1[id_col])
-                     & (triples["subj.start"] == t1["s1"]) & (triples["subj.end"] == t1["e1"]))
-        .drop(t1[id_col])
-        .join(t2, (triples[id_col] == t2[id_col])
-              & (triples["obj.start"] == t2["s2"]) & (triples["obj.end"] == t2["e2"]))
-        .drop(t2[id_col])
+    flat = triples.select(
+        id_col, "pred",
+        F.col("subj.start").alias("ss"), F.col("subj.end").alias("se"),
+        F.col("obj.start").alias("os"), F.col("obj.end").alias("oe"),
     )
-    wr = Window.partitionBy(triples[id_col]).orderBy("subj_t", "obj_t", "pred")
+    j = (
+        flat.join(t1, (flat[id_col] == t1["_id1"]) & (flat["ss"] == t1["s1"]) & (flat["se"] == t1["e1"]))
+        .join(t2, (flat[id_col] == t2["_id2"]) & (flat["os"] == t2["s2"]) & (flat["oe"] == t2["e2"]))
+    )
+    wr = Window.partitionBy(id_col).orderBy("subj_t", "obj_t", "pred")
     return j.withColumn("r_num", F.row_number().over(wr)).select(
-        triples[id_col].alias(id_col),
+        id_col,
         F.format_string("R%d\t%s Arg1:T%d Arg2:T%d",
                         F.col("r_num"), F.col("pred"),
                         F.col("subj_t"), F.col("obj_t")).alias("line"),

@@ -1,0 +1,78 @@
+"""Dedup + similarity: planted near-dups must surface; exact maths check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medacy_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from medacy_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # one-word edit
+    far = "completely different words nothing shared here at all everything new"
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = _corpus(spark)
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    d = _corpus(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(d).collect()}
+    assert (1, 2) in pairs          # identical: all bands collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup: some band collides
+    assert all(4 not in p for p in pairs)      # far doc never pairs
+
+
+def test_simhash_identical_is_zero_hamming(spark):
+    from medacy_spark.operators.dedup import simhash64_table
+
+    d = _corpus(spark)
+    cands = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_candidates(d).collect()}
+    assert cands.get((1, 2)) == 0  # identical docs always collide at distance 0
+    # signature-level: near-dup is closer than the unrelated doc
+    sig = {r["id"]: r["sh"] for r in simhash64_table(d).collect()}
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 2) == 0
+    assert ham(1, 3) < ham(1, 4)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "w1 w2 w3 w4"   # shingles: {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"   # shingles: {w1 w2 w3, w2 w3 w5}
+    d = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = ngram_jaccard_pairs(d, n=3, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_topk_self_match_and_lsh_consistency(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 4").select(F.col("vec_id").alias("q_id"), "embedding")
+    bf = brute_force_topk(emb, q, k=5)
+    top1 = {r["q_id"]: r["vec_id"] for r in bf.filter("rank = 1").collect()}
+    assert top1 == {i: i for i in range(4)}  # each query's best match = itself
+    # LSH results are a subset of the corpus with scores matching brute force
+    ls = lsh_bucketed_topk(emb, q, dim=64, k=5).select("q_id", "vec_id", "score")
+    j = ls.join(
+        bf.select("q_id", "vec_id", F.col("score").alias("bf_score")),
+        ["q_id", "vec_id"], "left"
+    )
+    mismatch = j.filter(
+        F.col("bf_score").isNotNull() & (F.abs(F.col("score") - F.col("bf_score")) > 1e-9)
+    )
+    assert mismatch.count() == 0
+    # self-match always lands in its own bucket
+    assert {r["q_id"] for r in ls.filter("q_id = vec_id").collect()} == {0, 1, 2, 3}

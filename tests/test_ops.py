@@ -1,0 +1,156 @@
+"""Operational layer: checkpoint/resume, skew salting, streaming,
+interval joins, multimodal, textstats."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from medacy_spark.corpus.synth import clinical_documents
+
+
+def test_checkpoint_resume_skips_completed(spark, doc_ids, tmp_path):
+    from medacy_spark.plans.checkpoint import (
+        completed_partitions,
+        run_stage_checkpointed,
+    )
+
+    docs = clinical_documents(doc_ids.filter("doc_id < 100")).select("doc_id", "url", "text")
+    out1 = str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    calls = []
+
+    def stage(df):
+        calls.append(1)
+        return df.select("url", F.length("text").alias("n"))
+
+    res = run_stage_checkpointed(
+        spark, docs, stage, run_id="r1", stage="len", key_col="url",
+        n_partitions=4, output_path=out1, metrics_path=met,
+    )
+    assert res.count() == 100
+    assert completed_partitions(spark, met, "r1", "len") == [0, 1, 2, 3]
+    first_calls = len(calls)
+    assert first_calls == 4
+
+    # resume: all partitions complete -> zero stage invocations
+    res2 = run_stage_checkpointed(
+        spark, docs, stage, run_id="r1", stage="len", key_col="url",
+        n_partitions=4, output_path=out1, metrics_path=met,
+    )
+    assert len(calls) == first_calls
+    assert res2.count() == 100
+
+    # metrics lineage rows carry counts
+    m = spark.read.parquet(met)
+    assert m.filter("status = 'ok'").count() == 4
+    assert m.agg(F.sum("rows_out")).collect()[0][0] == 100
+
+
+def test_salted_repartition_spreads_hot_host(spark, doc_ids):
+    from medacy_spark.plans.skew import host_skew_profile, salted_repartition
+
+    docs = clinical_documents(doc_ids)  # host0 gets ~half the corpus
+    prof = host_skew_profile(docs).collect()
+    assert prof[0]["docs"] > 0.4 * 500
+    hot = prof[0]["host"]
+    salted = salted_repartition(docs, num_partitions=16, salt_buckets=8)
+    spread = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("url").contains(hot))
+        .select("pid").distinct().count()
+    )
+    assert spread >= 4  # hot host split across several partitions
+
+
+def test_streaming_incremental(spark, doc_ids, tmp_path):
+    from medacy_spark.streaming.incremental import run_incremental, stream_documents
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = clinical_documents(doc_ids.filter("doc_id < 50")).select("url", "text")
+    docs.write.parquet(src)
+
+    stream = stream_documents(spark, src, "url string, text string")
+    q = run_incremental(
+        stream,
+        lambda df: df.select("url", F.length("text").alias("n")),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 50
+
+    # second availableNow run with no new files appends nothing
+    q2 = run_incremental(
+        stream_documents(spark, src, "url string, text string"),
+        lambda df: df.select("url", F.length("text").alias("n")),
+        out, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 50
+
+
+def test_interval_band_join_equals_naive(spark):
+    from medacy_spark.functions.spans import overlap_len
+    from medacy_spark.operators.intervals import interval_overlap_join
+
+    rows = [(d, (d * 37 + i * 11) % 500, (d * 37 + i * 11) % 500 + 5 + (i % 40))
+            for d in range(5) for i in range(60)]
+    df = spark.createDataFrame(
+        [(d, s, e) for d, s, e in rows], "doc_id long, start long, end long"
+    )
+    fast = interval_overlap_join(df, df, bucket=32)
+    naive = (
+        df.alias("a").join(
+            df.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (overlap_len(F.col("a.start"), F.col("a.end"), F.col("b.start"), F.col("b.end")) != 0),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.start").alias("l_start"), F.col("a.end").alias("l_end"),
+            F.col("b.start").alias("r_start"), F.col("b.end").alias("r_end"),
+        )
+    )
+    f = fast.select("doc_id", "l_start", "l_end", "r_start", "r_end")
+    assert f.exceptAll(naive).count() == 0
+    assert naive.exceptAll(f).count() == 0
+
+
+def test_multimodal_contract(spark, doc_ids):
+    from medacy_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    media = attach_fake_media(
+        clinical_documents(doc_ids.filter("doc_id < 30")).select("doc_id")
+    )
+    feats = extract_media_features(media, fake=True)
+    rows = feats.collect()
+    assert all(r["ok"] and len(r["feature"]) == 16 for r in rows)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in rows)
+    plan = frame_sample_plan(media, every_n=5)
+    assert plan.filter("frame_no % 5 != 0").count() == 0
+
+
+def test_textstats_bounds(spark, doc_ids):
+    from medacy_spark.operators.textstats import text_profile
+
+    docs = clinical_documents(doc_ids).select("doc_id", "text")
+    prof = text_profile(docs)
+    bad = prof.filter(
+        (F.col("quality") < 0) | (F.col("quality") > 1)
+        | (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+        | (F.col("fingerprint") < 0)
+    )
+    assert bad.count() == 0
+    # fingerprint is order-sensitive
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id long, text string"
+    )
+    fps = [r["fingerprint"] for r in text_profile(two).collect()]
+    assert fps[0] != fps[1]
