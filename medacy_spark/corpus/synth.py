@@ -114,26 +114,55 @@ def clinical_token_stream(doc_ids: DataFrame) -> DataFrame:
     )
 
 
+def _sent_words_expr(doc_id: Column, sent_id: Column) -> Column:
+    """Array of words for one sentence — the same template arithmetic as
+    clinical_token_stream, as a pure expression (no explode)."""
+    h = (doc_id * 131 + sent_id * 17).cast("long")
+    kind = F.pmod(h, F.lit(3))
+    drug = _pick(lex.DRUGS, h + 1)
+    num = (F.pmod(h * 7 + 3, F.lit(99)) * 5 + 5).cast("string")
+    unit = _pick(lex.DOSE_UNITS, h + 2)
+    route = _pick(lex.ROUTES, h + 3)
+    freq = _pick(lex.FREQUENCIES, h + 4)
+    dnum = (F.pmod(h + 5, F.lit(9)) + 2).cast("string")
+    timeunit = _pick(lex.TIME_UNITS, h + 6)
+    ade = _pick(lex.ADES, h + 7)
+    s0 = F.array(
+        F.lit("patient"), F.lit("was"), F.lit("prescribed"),
+        drug, num, unit, route, freq, F.lit("."),
+    )
+    s1 = F.array(
+        F.lit("patient"), F.lit("was"), F.lit("prescribed"),
+        drug, num, unit, route, freq, F.lit("for"), dnum, timeunit, F.lit("."),
+    )
+    s2 = F.array(
+        F.lit("patient"), F.lit("developed"), ade,
+        F.lit("after"), F.lit("taking"), drug, F.lit("."),
+    )
+    return F.when(kind == 0, s0).when(kind == 1, s1).otherwise(s2)
+
+
 def clinical_documents(doc_ids: DataFrame) -> DataFrame:
     """-> documents(doc_id, url, warc_ts, html, text, lang) in the
     BASELINE.json input_hint shape. Host assignment is deliberately skewed
-    (half the corpus on host 0) to exercise salted repartitioning."""
-    toks = clinical_token_stream(doc_ids)
-    text = (
-        toks.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("sent_id", "pos", "word"))
-                    ),
-                    lambda x: x["word"],
-                ),
-                " ",
-            ).alias("text")
-        )
-    )
+    (half the corpus on host 0) to exercise salted repartitioning.
+
+    SHUFFLE-FREE: the document text is a pure array expression over doc_id
+    (transform over the sentence range → flatten → array_join) — no
+    explode/groupBy round-trip, so corpus generation is map-only and the
+    generator itself scales linearly to any doc count. Byte-identical to
+    concat'ing clinical_token_stream (tested)."""
     d = F.col("doc_id")
+    text_expr = F.array_join(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(d, F.lit(3)).cast("int")),
+                lambda s: _sent_words_expr(d, s.cast("long")),
+            )
+        ),
+        " ",
+    )
+    text = doc_ids.select("doc_id", text_expr.alias("text"))
     host_idx = F.when(F.pmod(d, F.lit(2 * len(lex.HOSTS))) < len(lex.HOSTS), F.lit(0)).otherwise(
         F.pmod(d, F.lit(len(lex.HOSTS))).cast("int")
     )

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from medacy_spark.corpus import lexicons as lex
-from medacy_spark.operators.sequence import number_unit_mentions
 
 
 def gazetteer_df(spark: SparkSession) -> DataFrame:
@@ -59,30 +58,112 @@ def gazetteer_mentions(
 
 def unit_mentions(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Number+unit adjacency mentions: Dose (num + mass/volume unit) and
-    Duration (num + time unit) — unit_component.py:152-172 semantics."""
-    dose = number_unit_mentions(
-        tokens, lex.DOSE_UNITS, "Dose",
-        part_cols=(id_col, "sent_id"), order_col="tok_id", text_col="word",
+    Duration (num + time unit) — unit_component.py:152-172 semantics.
+
+    Single lead() pass partitioned by doc (ordered by sentence, token; the
+    lead's sentence id is checked so patterns never cross a sentence) —
+    shares the tokenizer's exchange, classifies both unit families from
+    one frame.
+    """
+    from medacy_spark.operators.sequence import LIKE_NUM
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("sent_id", "tok_id")
+    nb = (
+        tokens.withColumn("_nw", F.lead("word").over(w))
+        .withColumn("_ne", F.lead("end_idx").over(w))
+        .withColumn("_ns", F.lead("sent_id").over(w))
+        .withColumn("_nl", F.lower(F.col("_nw")))
     )
-    dur = number_unit_mentions(
-        tokens, lex.TIME_UNITS, "Duration",
-        part_cols=(id_col, "sent_id"), order_col="tok_id", text_col="word",
+    dose_u = [u.lower() for u in lex.DOSE_UNITS]
+    time_u = [u.lower() for u in lex.TIME_UNITS]
+    hit = nb.filter(
+        F.col("word").rlike(LIKE_NUM)
+        & (F.col("_ns") == F.col("sent_id"))
+        & (F.col("_nl").isin(dose_u + time_u))
     )
-    return dose.unionByName(dur)
+    return hit.select(
+        id_col, "sent_id",
+        F.when(F.col("_nl").isin(dose_u), F.lit("Dose")).otherwise(F.lit("Duration")).alias("tag"),
+        F.col("idx").alias("start"),
+        F.col("_ne").alias("end"),
+        F.concat_ws(" ", "word", "_nw").alias("text"),
+    )
 
 
 def detect_mentions(
-    tokens: DataFrame, gazetteer: DataFrame, id_col: str = "doc_id"
+    tokens: DataFrame,
+    gazetteer: DataFrame,
+    id_col: str = "doc_id",
+    dedup: bool = False,
 ) -> DataFrame:
     """Full rule-stack detection -> mentions(doc_id, sent_id, tag, start, end, text).
 
-    Tokens schema: (id, sent_id, tok_id, idx, end_idx, word). Output is
-    deduplicated on the EntTuple key — union semantics of
-    annotations.py:250-264.
+    SINGLE-PASS plan: one broadcast left-join for the gazetteer label, one
+    lead() window for the adjacency patterns, then each token emits 0-2
+    mention structs via explode. No union — a union would branch the DAG
+    and recompute the whole upstream pipeline once per branch (measured 2×
+    the corpus synth + tokenize cost before this rewrite).
+
+    The gazetteer and unit tag families are disjoint, so EntTuple dedup
+    (annotations.py:250-264 union semantics) is skippable; pass dedup=True
+    when plugging in overlapping detectors.
     """
-    gz = gazetteer_mentions(tokens, gazetteer, id_col)
-    um = unit_mentions(tokens, id_col)
-    return (
-        gz.unionByName(um)
-        .dropDuplicates([id_col, "tag", "start", "end", "text"])
+    from medacy_spark.operators.sequence import LIKE_NUM
+    from pyspark.sql import Window
+
+    # order by the tokenizer's own sort key when present → the planner
+    # elides this window's sort (ordering already satisfied)
+    order_col = "pos" if "pos" in tokens.columns else "tok_id"
+    w = Window.partitionBy(id_col).orderBy(*(
+        [order_col] if order_col == "pos" else ["sent_id", "tok_id"]
+    ))
+    t = (
+        tokens.withColumn("_nw", F.lead("word").over(w))
+        .withColumn("_ne", F.lead("end_idx").over(w))
+        .withColumn("_ns", F.lead("sent_id").over(w))
+        .withColumn("_norm", F.lower(F.col("word")))
+        .withColumn("_nl", F.lower(F.col("_nw")))
     )
+    g = F.broadcast(gazetteer.select(F.lower("term").alias("_norm"), "label"))
+    j = t.join(g, "_norm", "left")
+
+    dose_u = [u.lower() for u in lex.DOSE_UNITS]
+    time_u = [u.lower() for u in lex.TIME_UNITS]
+    gz_m = F.when(
+        F.col("label").isNotNull(),
+        F.struct(
+            F.col("label").alias("tag"),
+            F.col("idx").alias("start"),
+            F.col("end_idx").alias("end"),
+            F.col("word").alias("text"),
+        ),
+    )
+    unit_ok = (
+        F.col("word").rlike(LIKE_NUM)
+        & (F.col("_ns") == F.col("sent_id"))
+        & F.col("_nl").isin(dose_u + time_u)
+    )
+    unit_m = F.when(
+        unit_ok,
+        F.struct(
+            F.when(F.col("_nl").isin(dose_u), F.lit("Dose"))
+            .otherwise(F.lit("Duration")).alias("tag"),
+            F.col("idx").alias("start"),
+            F.col("_ne").alias("end"),
+            F.concat_ws(" ", "word", "_nw").alias("text"),
+        ),
+    )
+    out = j.select(
+        id_col, "sent_id",
+        F.explode(F.filter(F.array(gz_m, unit_m), lambda m: m.isNotNull())).alias("m"),
+    ).select(
+        id_col, "sent_id",
+        F.col("m.tag").alias("tag"),
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.text").alias("text"),
+    )
+    if dedup:
+        out = out.dropDuplicates([id_col, "tag", "start", "end", "text"])
+    return out

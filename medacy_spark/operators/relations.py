@@ -39,34 +39,48 @@ def extract_triples(
     """mentions(id, sent_id, tag, start, end, text) ->
     triples(id, subj struct<tag,start,end,text>, pred, obj struct<...>).
 
-    Each non-subject mention pairs with the nearest subject mention in the
-    same sentence (ties break to the earlier drug — deterministic).
+    Each attribute mention pairs with the nearest subject mention in the
+    same sentence (ties break to the earlier subject — deterministic).
+
+    SINGLE-PASS plan: one groupBy (doc, sent) collects the sentence's
+    mentions into an array; the nearest-subject search is a pure
+    `aggregate` expression over that array. A mentions×mentions self-join
+    here would branch the DAG and recompute the whole upstream pipeline
+    twice (measured), and its ranking window would add another full
+    sort — per-sentence mention counts are tiny, so the array fold is
+    both exact and cheap.
     """
-    subj = mentions.filter(F.col("tag") == subj_tag).select(
-        id_col, sent_col,
-        F.struct("tag", "start", "end", "text").alias("subj"),
-        F.col("start").alias("s_start"),
+    preds = list(PRED_FOR_TAG)
+    sent_ms = mentions.groupBy(id_col, sent_col).agg(
+        F.collect_list(F.struct("tag", "start", "end", "text")).alias("ms")
     )
-    obj = mentions.filter(
-        F.col("tag").isin(list(PRED_FOR_TAG))
-    ).select(
-        id_col, sent_col, "tag",
-        F.struct("tag", "start", "end", "text").alias("obj"),
-        F.col("start").alias("o_start"),
+    subj_arr = F.filter(F.col("ms"), lambda m: m["tag"] == subj_tag)
+    obj_arr = F.filter(
+        F.col("ms"), lambda m: m["tag"].isin(preds) & (m["tag"] != subj_tag)
     )
-    paired = obj.join(subj, [id_col, sent_col])
-    dist = F.abs(F.col("o_start") - F.col("s_start"))
-    w = Window.partitionBy(id_col, sent_col, "o_start", "tag").orderBy(
-        dist.asc(), F.col("s_start").asc()
-    )
+    rows = sent_ms.select(
+        id_col,
+        subj_arr.alias("subjs"),
+        F.explode(obj_arr).alias("obj"),
+    ).filter(F.size("subjs") > 0)
+    # fold: pick the subject minimizing (|s.start - obj.start|, s.start)
+    def _closer(acc, s):
+        d_s = F.abs(s["start"] - F.col("obj.start"))
+        d_acc = F.abs(acc["start"] - F.col("obj.start"))
+        return F.when(
+            (d_s < d_acc) | ((d_s == d_acc) & (s["start"] < acc["start"])), s
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("subjs"), F.element_at(F.col("subjs"), 1), _closer)
     pred = F.element_at(
         F.create_map(*[F.lit(x) for kv in PRED_FOR_TAG.items() for x in kv]),
-        F.col("tag"),
+        F.col("obj.tag"),
     )
-    return (
-        paired.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "subj", pred.alias("pred"), "obj")
+    return rows.select(
+        id_col,
+        best.alias("subj"),
+        pred.alias("pred"),
+        F.col("obj"),
     )
 
 

@@ -27,38 +27,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SCHEMA = (
-    "doc_id long, sent_id int, tok_id int, idx long, end_idx long, word string"
+    "doc_id long, pos int, sent_id int, tok_id int, idx long, end_idx long, word string"
 )
 
 
 def tokenize_native(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """documents(id, text) -> tokens(id, sent_id, tok_id, idx, end_idx, word).
 
-    One shuffle (hash on id for the windows); everything else is map-side.
+    ONE shuffle, ONE sort: every derived column (char offset, sentence id,
+    token-in-sentence id) comes from the same window frame
+    (partitionBy(id).orderBy(pos)), so Catalyst plans a single exchange +
+    a single per-partition sort. tok_id avoids a second (id, sent) window
+    by a running max over '.'-boundary positions.
     """
     toks = documents.select(
         id_col, F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
-    idx = F.coalesce(
-        F.sum(F.length("word") + 1).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    ).cast("long")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    idx = F.coalesce(F.sum(F.length("word") + 1).over(prev), F.lit(0)).cast("long")
     sent_id = F.coalesce(
-        F.sum((F.col("word") == ".").cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
+        F.sum((F.col("word") == ".").cast("int")).over(prev), F.lit(0)
     ).cast("int")
-    out = (
+    last_dot = F.coalesce(
+        F.max(F.when(F.col("word") == ".", F.col("pos"))).over(prev), F.lit(-1)
+    )
+    return (
         toks.withColumn("idx", idx)
         .withColumn("end_idx", (F.col("idx") + F.length("word")).cast("long"))
         .withColumn("sent_id", sent_id)
+        .withColumn("tok_id", (F.col("pos") - last_dot - 1).cast("int"))
+        # pos is kept so downstream windows can order by the exact same
+        # expression — the planner then elides their re-sort entirely
+        .select(id_col, "pos", "sent_id", "tok_id", "idx", "end_idx", "word")
     )
-    w2 = Window.partitionBy(id_col, "sent_id").orderBy("pos")
-    return out.withColumn(
-        "tok_id", (F.row_number().over(w2) - 1).cast("int")
-    ).select(id_col, "sent_id", "tok_id", "idx", "end_idx", "word")
 
 
 def tokenize_pandas(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -74,15 +76,16 @@ def tokenize_pandas(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
-                id_col: [], "sent_id": [], "tok_id": [], "idx": [],
+                id_col: [], "pos": [], "sent_id": [], "tok_id": [], "idx": [],
                 "end_idx": [], "word": [],
             }
             for did, text in zip(pdf[id_col], pdf["text"]):
                 off = 0
                 sent = 0
                 tok = 0
-                for wtext in text.split(" "):
+                for pos, wtext in enumerate(text.split(" ")):
                     out[id_col].append(did)
+                    out["pos"].append(pos)
                     out["sent_id"].append(sent)
                     out["tok_id"].append(tok)
                     out["idx"].append(off)
