@@ -907,6 +907,99 @@ def q_clinical_mention_counts(spark, sf):
     return m.groupBy("tag").agg(F.count("*").alias("cnt")).orderBy("tag")
 
 
+# ---- X4: stratified fold assignment (reference create_folds semantics)
+
+
+@q("fold_assignment", BASE_CTES + """
+, seqs AS (
+  SELECT doc_id, min(word) AS first_label
+  FROM tokens WHERE word IN ({kw}) GROUP BY doc_id)
+SELECT doc_id,
+       CAST((row_number() OVER (ORDER BY first_label, doc_id) - 1) % 5 AS INT) AS fold
+FROM seqs ORDER BY doc_id
+""".format(kw=_sql_list(KEYWORDS)))
+def q_fold_assignment(spark, sf):
+    from medacy_spark.operators.folds import assign_folds
+    t = tokens_df(spark, sf)
+    seqs = (
+        t.filter(F.col("word").isin(KEYWORDS))
+        .groupBy("doc_id")
+        .agg(F.collect_set("word").alias("labels"))
+        .withColumnRenamed("doc_id", "seq_id")
+    )
+    return assign_folds(seqs, 5).withColumnRenamed("seq_id", "doc_id").orderBy("doc_id")
+
+
+# ---- J7: gold overlay with boundary repair
+
+
+@q("gold_overlay", BASE_CTES + """
+, g AS (
+  -- gold spans, deliberately end-shifted +1 when (doc_id+pos)%7=0 so the
+  -- repair path (delta -1) is exercised
+  SELECT doc_id, tag, start,
+         CASE WHEN (doc_id + pos) % 7 = 0 THEN "end" + 1 ELSE "end" END AS gend
+  FROM gold),
+starts AS (SELECT DISTINCT doc_id, start AS b FROM tokens),
+ends AS (SELECT DISTINCT doc_id, "end" AS b FROM tokens),
+fixed AS (
+  SELECT g.doc_id, g.tag, g.start,
+         CASE
+           WHEN EXISTS (SELECT 1 FROM ends e WHERE e.doc_id = g.doc_id AND e.b = g.gend) THEN g.gend
+           WHEN EXISTS (SELECT 1 FROM ends e WHERE e.doc_id = g.doc_id AND e.b = g.gend - 1) THEN g.gend - 1
+           WHEN EXISTS (SELECT 1 FROM ends e WHERE e.doc_id = g.doc_id AND e.b = g.gend + 1) THEN g.gend + 1
+         END AS fend
+  FROM g
+  WHERE EXISTS (SELECT 1 FROM starts s WHERE s.doc_id = g.doc_id AND s.b = g.start))
+SELECT t.doc_id, CAST(t.start AS BIGINT) AS idx, f.tag AS gold_label
+FROM tokens t JOIN fixed f
+  ON t.doc_id = f.doc_id AND t.start >= f.start AND t."end" <= f.fend
+WHERE f.fend IS NOT NULL
+ORDER BY t.doc_id, idx
+""")
+def q_gold_overlay(spark, sf):
+    from medacy_spark.operators.overlay import gold_overlay
+    t = tokens_df(spark, sf).select(
+        "doc_id", F.col("start").alias("idx"), F.col("end").alias("end_idx"), "word"
+    )
+    g = gold_df(spark, sf).select(
+        "doc_id", "tag", "start",
+        F.when((F.col("doc_id") + F.col("pos")) % 7 == 0, F.col("end") + 1)
+        .otherwise(F.col("end")).alias("end"),
+    )
+    out = gold_overlay(t, g)
+    return out.filter(F.col("gold_label") != "O").select(
+        "doc_id", F.col("idx").cast("long").alias("idx"), "gold_label"
+    ).orderBy("doc_id", "idx")
+
+
+# ---- W6: line/word coordinate index (rows-only: newline injection is
+# Spark-side; the exact arithmetic is pytest-covered)
+
+
+@q("line_word_index")
+def q_line_word_index(spark, sf):
+    from medacy_spark.sources.converters import line_word_index
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return line_word_index(d).orderBy("doc_id", "line_no", "word_no")
+
+
+# ---- S9: con round-trip (rows-only; golden-value pytest covers parity)
+
+
+@q("con_roundtrip")
+def q_con_roundtrip(spark, sf):
+    from medacy_spark.sources.converters import con_to_mentions, mentions_to_con, parse_con
+    d = _docs(spark, sf).select("doc_id", "text")
+    m = gold_df(spark, sf)
+    con = mentions_to_con(m, d)
+    back = con_to_mentions(parse_con(con.withColumnRenamed("line", "line")), d)
+    return back.orderBy("doc_id", "start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,67 @@
+"""Stratified fold assignment + cross-validation aggregates (X4/J12/A5).
+
+Reproduces medacy's ``create_folds`` (medacy/model/model.py:23-66) exactly:
+
+  * labels are sorted ascending (np.unique; the reference's ``np.flip`` at
+    model.py:42 is a no-op — its result is never assigned — so the
+    documented "most examples first" order never happens; we replicate the
+    *actual* behavior),
+  * a single fold cycler runs over labels in that order; each not-yet-
+    assigned sequence containing the label is appended round-robin, in
+    sequence-index order.
+
+Equivalent closed form: order sequences by (alphabetically smallest label
+they contain, sequence index); fold = (global row_number - 1) mod k. That
+is a pure window computation — one sort, no Python.
+
+Cross-fold stats (A5, model.py:429-441): per-(fold,label) metrics then
+mean/min/max per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_folds(
+    sequences: DataFrame,
+    num_folds: int = 10,
+    seq_col: str = "seq_id",
+    labels_col: str = "labels",
+) -> DataFrame:
+    """sequences(seq_id, labels array<string>) -> (seq_id, fold int).
+
+    Sequences with an empty label set are never assigned by the reference
+    (they appear in no fold) — they are dropped here too.
+    """
+    if num_folds < 2:
+        raise ValueError(f"'num_folds' must be >= 2, but is {num_folds!r}")
+    keyed = sequences.filter(F.size(labels_col) > 0).select(
+        seq_col, F.array_min(labels_col).alias("_first_label")
+    )
+    w = Window.orderBy("_first_label", seq_col)
+    return keyed.select(
+        seq_col,
+        ((F.row_number().over(w) - 1) % num_folds).cast("int").alias("fold"),
+    )
+
+
+def fold_split(data: DataFrame, folds: DataFrame, k: int, seq_col: str = "seq_id"):
+    """J12: (train, test) DataFrames for fold k — a fold column beats an
+    indices join (model.py:380-392)."""
+    j = data.join(folds, seq_col)
+    return j.filter(F.col("fold") != k).drop("fold"), j.filter(F.col("fold") == k).drop("fold")
+
+
+def cross_fold_stats(per_fold_metrics: DataFrame) -> DataFrame:
+    """A5: per-(fold, label) P/R/F1 rows -> per-label mean/min/max
+    (model.py:429-441)."""
+    aggs = []
+    for m in ("precision", "recall", "f1"):
+        aggs += [
+            F.avg(m).alias(f"avg_{m}"),
+            F.min(m).alias(f"min_{m}"),
+            F.max(m).alias(f"max_{m}"),
+        ]
+    return per_fold_metrics.groupBy("label").agg(*aggs).orderBy("label")

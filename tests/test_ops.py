@@ -48,6 +48,43 @@ def test_checkpoint_resume_skips_completed(spark, doc_ids, tmp_path):
     assert m.agg(F.sum("rows_out")).collect()[0][0] == 100
 
 
+def test_checkpoint_kill_and_resume(spark, doc_ids, tmp_path):
+    """North rule: 'any failed run resumes exactly' — a crash mid-run leaves
+    completed partitions marked; the rerun recomputes only the remainder
+    and the final output equals an uninterrupted run."""
+    import pytest as _pytest
+
+    from medacy_spark.plans.checkpoint import run_stage_checkpointed
+
+    docs = clinical_documents(doc_ids.filter("doc_id < 100")).select("doc_id", "url", "text")
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    state = {"calls": 0}
+
+    def crashing_stage(df):
+        state["calls"] += 1
+        if state["calls"] == 3:
+            raise RuntimeError("simulated executor crash")
+        return df.select("url", F.length("text").alias("n"))
+
+    with _pytest.raises(RuntimeError):
+        run_stage_checkpointed(
+            spark, docs, crashing_stage, run_id="r2", stage="len", key_col="url",
+            n_partitions=4, output_path=out, metrics_path=met,
+        )
+    # two partitions committed before the crash
+    done = spark.read.parquet(met).filter("status='ok'").count()
+    assert done == 2
+
+    res = run_stage_checkpointed(
+        spark, docs, crashing_stage, run_id="r2", stage="len", key_col="url",
+        n_partitions=4, output_path=out, metrics_path=met,
+    )
+    assert res.count() == 100  # exact: all rows, no duplicates
+    assert res.select("url").distinct().count() == 100
+    assert state["calls"] == 5  # 2 before crash + the crash + 2 on resume
+
+
 def test_salted_repartition_spreads_hot_host(spark, doc_ids):
     from medacy_spark.plans.skew import host_skew_profile, salted_repartition
 
