@@ -973,6 +973,38 @@ def q_gold_overlay(spark, sf):
     ).orderBy("doc_id", "idx")
 
 
+# ---- A9: vocabulary index (deterministic order)
+
+
+@q("vocab_index", BASE_CTES + """
+SELECT tag, CAST(row_number() OVER (ORDER BY tag) - 1 AS INT) AS index
+FROM (SELECT DISTINCT tag FROM gold) ORDER BY tag
+""")
+def q_vocab_index(spark, sf):
+    from medacy_spark.operators.features import vocab_index
+    return vocab_index(gold_df(spark, sf), "tag").orderBy("tag")
+
+
+# ---- W1/X1 tail: per-sentence FeatureTuples (map columns hash unstably
+# across engines → rows-only; exact values pytest-covered)
+
+
+@q("feature_tuples")
+def q_feature_tuples(spark, sf):
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.operators.features import extract_feature_tuples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    ids = _docs(spark, sf).select("doc_id").filter(F.col("doc_id") < 200)
+    toks = tokenize_native(clinical_documents(ids).select("doc_id", "text"))
+    ft = extract_feature_tuples(toks, window_size=3)
+    return ft.select(
+        "doc_id", "sent_id",
+        F.size("features").alias("n_tokens"),
+        F.size("indices").alias("n_spans"),
+    ).orderBy("doc_id", "sent_id")
+
+
 # ---- W6: line/word coordinate index (rows-only: newline injection is
 # Spark-side; the exact arithmetic is pytest-covered)
 

@@ -87,7 +87,9 @@ def feature_window(
     Emits a `features` map<string,string> column.
     """
     w = Window.partitionBy(*part_cols).orderBy(order_col)
-    entries: list[Column] = []
+    entries: list[Column] = [
+        F.struct(F.lit("bias").alias("key"), F.lit("1.0").alias("value"))
+    ]
     for off in range(-k, k + 1):
         for name in feature_cols:
             if off < 0:
@@ -96,8 +98,12 @@ def feature_window(
                 val = F.lead(name, off).over(w)
             else:
                 val = F.col(name)
-            key = F.lit(f"{off:+d}:{name}" if off != 0 else f"0:{name}")
-            entries.append(F.struct(key.alias("key"), val.cast("string").alias("value")))
+            # reference key format: f'{i}:{feature}' (plain int, no sign
+            # for positives) + constant bias=1.0
+            # (discrete_feature_extractor.py:86-98)
+            entries.append(
+                F.struct(F.lit(f"{off}:{name}").alias("key"), val.cast("string").alias("value"))
+            )
     arr = F.filter(F.array(*entries), lambda s: s["value"].isNotNull())
     return tokens.withColumn(
         "features", F.map_from_entries(arr)

@@ -1,0 +1,93 @@
+"""FeatureTuple extraction (W1/X1 tail), spaCy-ish features (F18),
+vocab indexing (A9), multi-model merge (U6), embedding source (S6),
+resegmentation (W4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medacy_spark.operators.features import (
+    extract_feature_tuples,
+    multi_model_merge,
+    vocab_index,
+    with_spacy_features,
+)
+from medacy_spark.operators.tokenize import tokenize_native
+
+REF_EMB = "/root/reference/medacy/tests/sample_data/test_word_embeddings.txt"
+
+
+def test_spacy_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "Aspirin 500 mg BID .")], "doc_id long, text string"
+    )
+    t = with_spacy_features(tokenize_native(docs))
+    rows = {r["word"]: r for r in t.collect()}
+    assert rows["Aspirin"]["shape_"] == "Xxxxx"   # run-collapse to 4+... Xxxxxxx→Xxxxx? see below
+    assert rows["Aspirin"]["prefix_"] == "A"
+    assert rows["Aspirin"]["suffix_"] == "rin"
+    assert rows["500"]["like_num"] == "true"
+    assert rows["."]["is_punct"] == "true"
+    assert rows["BID"]["shape_"] == "XXX"
+
+
+def test_feature_tuples_window(spark):
+    docs = spark.createDataFrame([(1, "a bb ccc dddd .")], "doc_id long, text string")
+    toks = tokenize_native(docs)
+    ft = extract_feature_tuples(toks, window_size=1, feature_cols=["word"])
+    row = ft.collect()[0]
+    feats = row["features"]
+    assert len(feats) == 5
+    # token 'bb' (index 1): bias + -1/0/1 word features
+    f1 = feats[1]
+    assert f1["bias"] == "1.0"
+    assert f1["-1:word"] == "a" and f1["0:word"] == "bb" and f1["1:word"] == "ccc"
+    # first token has no -1 key
+    assert "-1:word" not in feats[0]
+    spans = row["indices"]
+    assert (spans[0]["start"], spans[0]["end"]) == (0, 1)
+    assert (spans[4]["start"], spans[4]["end"]) == (14, 15)
+
+
+def test_vocab_index_and_multi_model(spark):
+    vals = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "tag string")
+    idx = {r["tag"]: r["index"] for r in vocab_index(vals, "tag").collect()}
+    assert idx == {"a": 0, "b": 1, "c": 2}
+
+    m1 = spark.createDataFrame([(1, "A", 0, 3, "x")],
+                               "doc_id long, tag string, start long, end long, text string")
+    m2 = spark.createDataFrame([(1, "A", 0, 3, "x"), (1, "B", 4, 7, "y")],
+                               "doc_id long, tag string, start long, end long, text string")
+    merged = multi_model_merge([m1, m2])
+    assert merged.count() == 2
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EMB), reason="reference fixture unavailable")
+def test_word2vec_source(spark):
+    from medacy_spark.sources.embeddings import broadcast_embeddings, read_word2vec_text
+
+    df = read_word2vec_text(spark, REF_EMB)
+    rows = df.collect()
+    assert len(rows) >= 1
+    dims = {len(r["vec"]) for r in rows}
+    assert len(dims) == 1  # consistent dimensionality
+    bc = broadcast_embeddings(spark, df)
+    assert set(bc.value) == {r["word"] for r in rows}
+
+
+def test_resegment(spark):
+    from medacy_spark.operators.sequence import resegment
+
+    docs = spark.createDataFrame([(1, "took 500 mg po daily")], "doc_id long, text string")
+    toks = tokenize_native(docs).withColumnRenamed("idx", "start").withColumnRenamed(
+        "end_idx", "end"
+    )
+    merge = spark.createDataFrame([(1, 5, 11)], "doc_id long, start long, end long")
+    out = resegment(toks, merge, part_cols=["doc_id"], order_col="start")
+    got = {r["word"]: r["new_tok_id"] for r in out.collect()}
+    # '500' and 'mg' collapse into one token id; later tokens shift down
+    assert got["took"] == 0 and got["500"] == 1 and got["mg"] == 1
+    assert got["po"] == 2 and got["daily"] == 3
