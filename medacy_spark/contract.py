@@ -69,10 +69,6 @@ def gold_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _swap_expr(col):
     m = {KEYWORDS[i]: KEYWORDS[(i + 1) % len(KEYWORDS)] for i in range(len(KEYWORDS))}
-    expr = F.col(col)
-    for k, v in m.items():
-        expr = F.when(F.col(col) == k, F.lit(v)).otherwise(expr)
-    # build properly: chained whens
     expr = None
     for k, v in m.items():
         expr = F.when(F.col(col) == k, F.lit(v)) if expr is None else expr.when(F.col(col) == k, F.lit(v))
@@ -971,6 +967,131 @@ def q_gold_overlay(spark, sf):
     return out.filter(F.col("gold_label") != "O").select(
         "doc_id", F.col("idx").cast("long").alias("idx"), "gold_label"
     ).orderBy("doc_id", "idx")
+
+
+# ---- P2/O2/O6: ordered data limit
+
+
+@q("data_limit", """
+SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100
+""")
+def q_data_limit(spark, sf):
+    return (
+        _docs(spark, sf).select("doc_id", "n_chars").orderBy("doc_id").limit(100)
+    )
+
+
+# ---- embedding-cosine near-dup pairs (dedup family)
+
+
+@q("embedding_near_dups", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+ORDER BY id_a, id_b
+""")
+def q_embedding_near_dups(spark, sf):
+    from medacy_spark.operators.dedup import embedding_near_dups
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 200")
+    # exact variant (n_planes=0) so the oracle matches; cosine column
+    # excluded from the hash (float rounding differs across engines)
+    return embedding_near_dups(emb, threshold=0.25, n_planes=0).select(
+        "id_a", "id_b"
+    ).orderBy("id_a", "id_b")
+
+
+@q("embedding_topk_ivf")  # approximate: rows-only
+def q_embedding_topk_ivf(spark, sf):
+    from medacy_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_topk(emb, qs, n_cells=16, n_probe=4, k=10).select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+# ---- A5/X4/J12: full cross-validation evaluation flow
+
+
+@q("cross_fold_measures", BASE_CTES + """
+, seqs AS (
+  SELECT doc_id, min(word) AS first_label
+  FROM tokens WHERE word IN ({kw}) GROUP BY doc_id),
+folds AS (
+  SELECT doc_id,
+         CAST((row_number() OVER (ORDER BY first_label, doc_id) - 1) % 3 AS INT) AS fold
+  FROM seqs),
+gc AS (SELECT f.fold, g.tag, g.doc_id, g.start, g."end", count(*) AS c
+       FROM gold g JOIN folds f ON g.doc_id = f.doc_id GROUP BY ALL),
+sc AS (SELECT f.fold, p.tag, p.doc_id, p.start, p."end", count(*) AS c
+       FROM pred p JOIN folds f ON p.doc_id = f.doc_id GROUP BY ALL),
+key_tp AS (
+  SELECT gc.fold, gc.tag, least(gc.c, sc.c) AS tp
+  FROM gc JOIN sc ON gc.fold = sc.fold AND gc.doc_id = sc.doc_id
+   AND gc.tag = sc.tag AND gc.start = sc.start AND gc."end" = sc."end"),
+gtot AS (SELECT f.fold, tag, CAST(count(*) AS BIGINT) AS g
+         FROM gold JOIN folds f ON gold.doc_id = f.doc_id GROUP BY f.fold, tag),
+stot AS (SELECT f.fold, tag, CAST(count(*) AS BIGINT) AS s
+         FROM pred JOIN folds f ON pred.doc_id = f.doc_id GROUP BY f.fold, tag),
+per AS (
+  SELECT gt.fold, gt.tag AS label,
+         CASE WHEN coalesce(s,0) = 0 THEN 0.0
+              ELSE CAST(coalesce(tp,0) AS DOUBLE) / s END AS precision,
+         CASE WHEN g = 0 THEN 0.0 ELSE CAST(coalesce(tp,0) AS DOUBLE) / g END AS recall
+  FROM gtot gt
+  LEFT JOIN stot st ON gt.fold = st.fold AND gt.tag = st.tag
+  LEFT JOIN (SELECT fold, tag, CAST(sum(tp) AS BIGINT) AS tp FROM key_tp GROUP BY fold, tag) t
+    ON gt.fold = t.fold AND gt.tag = t.tag)
+SELECT label,
+       CAST(avg(precision) AS DOUBLE) AS avg_precision,
+       CAST(min(precision) AS DOUBLE) AS min_precision,
+       CAST(max(precision) AS DOUBLE) AS max_precision,
+       CAST(avg(recall) AS DOUBLE) AS avg_recall,
+       CAST(min(recall) AS DOUBLE) AS min_recall,
+       CAST(max(recall) AS DOUBLE) AS max_recall
+FROM per GROUP BY label ORDER BY label
+""".format(kw=_sql_list(KEYWORDS)))
+def q_cross_fold_measures(spark, sf):
+    """X4 folds → per-fold strict P/R per tag (tp consumed == tp for this
+    corpus: no duplicate spans) → A5 mean/min/max per label."""
+    from medacy_spark.operators.folds import assign_folds
+
+    t = tokens_df(spark, sf)
+    seqs = (
+        t.filter(F.col("word").isin(KEYWORDS))
+        .groupBy("doc_id").agg(F.collect_set("word").alias("labels"))
+        .withColumnRenamed("doc_id", "seq_id")
+    )
+    folds = assign_folds(seqs, 3).withColumnRenamed("seq_id", "doc_id")
+    g = gold_df(spark, sf).join(folds, "doc_id")
+    p = pred_df(spark, sf).join(folds, "doc_id")
+    gkey = g.groupBy("fold", "tag", "doc_id", "start", "end").agg(F.count("*").alias("gc"))
+    skey = p.groupBy("fold", "tag", "doc_id", "start", "end").agg(F.count("*").alias("sc"))
+    tp = (
+        gkey.join(skey, ["fold", "tag", "doc_id", "start", "end"])
+        .groupBy("fold", "tag").agg(F.sum(F.least("gc", "sc")).alias("tp"))
+    )
+    gtot = g.groupBy("fold", "tag").agg(F.count("*").alias("g"))
+    stot = p.groupBy("fold", "tag").agg(F.count("*").alias("s"))
+    per = (
+        gtot.join(stot, ["fold", "tag"], "left")
+        .join(tp, ["fold", "tag"], "left")
+        .na.fill(0, ["s", "tp"])
+        .select(
+            "fold", F.col("tag").alias("label"),
+            F.when(F.col("s") == 0, 0.0).otherwise(F.col("tp") / F.col("s")).alias("precision"),
+            F.when(F.col("g") == 0, 0.0).otherwise(F.col("tp") / F.col("g")).alias("recall"),
+        )
+    )
+    return per.groupBy("label").agg(
+        F.avg("precision").alias("avg_precision"),
+        F.min("precision").alias("min_precision"),
+        F.max("precision").alias("max_precision"),
+        F.avg("recall").alias("avg_recall"),
+        F.min("recall").alias("min_recall"),
+        F.max("recall").alias("max_recall"),
+    ).orderBy("label")
 
 
 # ---- A9: vocabulary index (deterministic order)

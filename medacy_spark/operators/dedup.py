@@ -195,6 +195,43 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Scale path: random-hyperplane bucket join prunes candidates (near-dups
+    at cosine ≥0.95 almost always share all sign bits), exact cosine
+    rescoring inside buckets. For the exact (oracle) variant set
+    n_planes=0 → full O(n²) per-partition cross join; keep that for small
+    n or verification only.
+    """
+    from medacy_spark.operators.linking import cosine
+    from medacy_spark.operators.similarity import rh_bucket
+
+    if n_planes > 0:
+        dim = len(embeddings.select(vec_col).first()[0])
+        e = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            rh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

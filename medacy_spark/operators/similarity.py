@@ -75,6 +75,61 @@ def rh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF-flavored ANN: corpus vectors assign to their nearest centroid
+    cell; each query probes its n_probe nearest cells and rescores exactly
+    inside them.
+
+    Centroids are deterministic: the corpus vectors with the n_cells
+    smallest ids (a k-means iteration would refine them with the same plan
+    shape — centroid table stays broadcast-size either way). Plan: one
+    broadcast assign pass over the corpus, one equi-join on cell id.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col).limit(n_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        )
+    )
+
+    def nearest_cells(df, key, vcol, n):
+        scored = df.crossJoin(cents).withColumn(
+            "_sim", cosine(F.col(vcol), F.col("c_vec"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col("_sim").desc(), F.col("cell").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("c_vec", "_sim", "_rn")
+        )
+
+    c_assigned = nearest_cells(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec2")),
+        "vec_id", "c_vec2", 1,
+    )
+    q_assigned = nearest_cells(
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id", "q_vec", n_probe,
+    )
+    scored = c_assigned.join(F.broadcast(q_assigned), "cell").select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec2")).alias("score")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
