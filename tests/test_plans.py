@@ -1,0 +1,104 @@
+"""Physical-plan quality gates — the 100 TB checklist as assertions.
+
+These catch regressions in plan shape, not results: a filter that stops
+pushing down or a gazetteer join that stops broadcasting would still pass
+value tests while being catastrophically slower at scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_column_pruning(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema  # unused column never read
+
+
+def test_parquet_predicate_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").filter(
+        F.col("l_quantity") > 30
+    ).select("l_orderkey")
+    plan = _plan(df)
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line][0]
+    assert "GreaterThan(l_quantity" in pushed
+
+
+def test_gazetteer_join_broadcasts(spark, doc_ids):
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    toks = tokenize_native(clinical_documents(doc_ids).select("doc_id", "text"))
+    m = detect_mentions(toks, gazetteer_df(spark))
+    plan = _plan(m)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_is_exchange_free_from_range(spark):
+    """spark.range's range-partitioning satisfies every doc-keyed
+    distribution → the whole pipeline plans without shuffle exchanges."""
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.functions.html import extract_text_expr
+    from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
+    from medacy_spark.operators.relations import extract_triples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    docs = clinical_documents(ids)
+    texts = docs.select("doc_id", extract_text_expr(F.col("html")).alias("text"))
+    tri = extract_triples(detect_mentions(tokenize_native(texts), gazetteer_df(spark)))
+    plan = _plan(tri)
+    shuffle_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert shuffle_exchanges == []
+    # exactly one sort feeds all windows
+    sorts = [line for line in plan.splitlines() if line.strip().startswith("+- Sort")
+             or line.strip().startswith(":- Sort") or "(Sort" in line]
+    assert len([line for line in plan.splitlines() if "Sort (" in line]) <= 1
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE defers codegen until execution; disable it for the plan check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).agg(F.sum("l_quantity").alias("s"))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("codegen")  # "Found N WholeStageCodegen subtrees"
+        out = buf.getvalue()
+        assert "WholeStageCodegen subtrees" in out
+        assert "Found 0" not in out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_measures_strict_no_python(spark):
+    """The strict scorer must stay JVM-side (no Python/Arrow eval nodes)."""
+    from medacy_spark import contract
+
+    df = contract.QUERIES["measures_strict"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
