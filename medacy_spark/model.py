@@ -1,0 +1,145 @@
+"""Model facade: fit / predict / cross_validate (reference Model API).
+
+Mirrors medacy's main entry surface (medacy/model/model.py:200-475):
+``Model(pipeline).fit(dataset)``, ``predict(dataset)``,
+``cross_validate(num_folds)`` — re-expressed over DataFrames:
+
+  * fit        — tokenize + gold overlay (J7) → learner fit. Learner
+                 training is driver-side in the reference (X3: no
+                 distribution whatsoever); here the *statistics* are
+                 computed distributed and only the model artifact
+                 (vocab-scale) is collected + broadcast.
+  * predict    — X2: broadcast model scored in an Arrow-batched stage →
+                 island merge (W2) → mentions (the S4 sink shape).
+  * cross_validate — X4 stratified folds → per-fold fit/predict →
+                 strict Measures per (fold, tag) → A5 mean/min/max.
+
+The built-in ``FrequencyLearner`` (most-frequent-tag-per-word + the unit
+adjacency rules) stands in for CRF/BiLSTM/BERT — those libraries aren't in
+this container; any callable (sentences -> label lists) plugs into the
+same broadcast + batch contract (operators/ner_model.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medacy_spark.corpus import lexicons as lex
+from medacy_spark.operators.ner_model import model_mentions
+from medacy_spark.operators.overlay import gold_overlay
+from medacy_spark.operators.scoring import measures, with_prf
+from medacy_spark.operators.tokenize import tokenize_native
+
+
+class FrequencyLearner:
+    """Most-frequent-tag-per-surface-form sequence labeler, with the
+    number+unit adjacency rules for spans frequency can't see. Pickles
+    cleanly (S7: model artifact dump/load is plain serialization)."""
+
+    def __init__(self) -> None:
+        self.table: dict[str, str] = {}
+        self.dose_units = {u.lower() for u in lex.DOSE_UNITS}
+        self.time_units = {u.lower() for u in lex.TIME_UNITS}
+
+    def fit_table(self, table: dict[str, str]) -> "FrequencyLearner":
+        self.table = table
+        return self
+
+    def __call__(self, sentences: list[list[str]]) -> list[list[str]]:
+        out = []
+        for words in sentences:
+            labels = [self.table.get(w.lower(), "O") for w in words]
+            for i, w in enumerate(words):
+                if w.replace(".", "", 1).isdigit() and i + 1 < len(words):
+                    nxt = words[i + 1].lower()
+                    if nxt in self.dose_units:
+                        labels[i] = labels[i + 1] = "Dose"
+                    elif nxt in self.time_units:
+                        labels[i] = labels[i + 1] = "Duration"
+            out.append(labels)
+        return out
+
+
+class Model:
+    """fit/predict/cross_validate over (documents, gold_mentions) tables."""
+
+    def __init__(self, spark: SparkSession, learner: FrequencyLearner | None = None):
+        self.spark = spark
+        self.learner = learner or FrequencyLearner()
+        self._bc = None
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, documents: DataFrame, gold_mentions: DataFrame) -> "Model":
+        toks = tokenize_native(documents.select("doc_id", "text"))
+        labeled = gold_overlay(toks, gold_mentions)
+        # distributed statistics; only the vocab-scale table is collected
+        stats = (
+            labeled.filter(F.col("gold_label") != "O")
+            .groupBy(F.lower("word").alias("w"), "gold_label")
+            .agg(F.count("*").alias("n"))
+        )
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("gold_label"))
+        top = stats.withColumn("_rn", F.row_number().over(wnd)).filter("_rn = 1")
+        table = {r["w"]: r["gold_label"] for r in top.collect()}
+        self.learner.fit_table(table)
+        self._bc = self.spark.sparkContext.broadcast(self.learner)
+        return self
+
+    # -------------------------------------------------------------- predict
+
+    def predict(self, documents: DataFrame) -> DataFrame:
+        """-> mentions(doc_id, sent_id, tag, start, end, text)."""
+        if self._bc is None:
+            raise RuntimeError("fit() (or load()) must run before predict()")
+        toks = tokenize_native(documents.select("doc_id", "text"))
+        return model_mentions(toks, self._bc)
+
+    # ------------------------------------------------------- cross_validate
+
+    def cross_validate(
+        self, documents: DataFrame, gold_mentions: DataFrame, num_folds: int = 5
+    ) -> DataFrame:
+        """-> per-tag avg/min/max precision/recall/f1 across folds
+        (model.py:332-475 shape). Rejects num_folds < 2 like the reference
+        (model.py:37-38)."""
+        if not isinstance(num_folds, int) or num_folds < 2:
+            raise ValueError(f"'num_folds' must be an int >= 2, but is {num_folds!r}")
+        from medacy_spark.operators.folds import assign_folds
+
+        toks = tokenize_native(documents.select("doc_id", "text"))
+        labeled = gold_overlay(toks, gold_mentions)
+        seqs = (
+            labeled.groupBy("doc_id")
+            .agg(F.array_distinct(F.collect_list("gold_label")).alias("labels"))
+            .withColumnRenamed("doc_id", "seq_id")
+        )
+        folds = assign_folds(seqs, num_folds).withColumnRenamed("seq_id", "doc_id")
+        docs_f = documents.join(folds, "doc_id")
+        gold_f = gold_mentions.join(folds, "doc_id")
+        per_fold = []
+        for k in range(num_folds):
+            train_docs = docs_f.filter(F.col("fold") != k).drop("fold")
+            train_gold = gold_f.filter(F.col("fold") != k).drop("fold")
+            test_docs = docs_f.filter(F.col("fold") == k).drop("fold")
+            test_gold = gold_f.filter(F.col("fold") == k).drop("fold")
+            m = Model(self.spark, FrequencyLearner()).fit(train_docs, train_gold)
+            pred = m.predict(test_docs)
+            scored = with_prf(measures(test_gold, pred, mode="strict"))
+            per_fold.append(scored.withColumn("fold", F.lit(k)))
+        all_folds = per_fold[0]
+        for df in per_fold[1:]:
+            all_folds = all_folds.unionByName(df)
+        aggs = []
+        for metric in ("precision", "recall", "f1"):
+            aggs += [
+                F.avg(metric).alias(f"avg_{metric}"),
+                F.min(metric).alias(f"min_{metric}"),
+                F.max(metric).alias(f"max_{metric}"),
+            ]
+        return (
+            all_folds.groupBy(F.col("tag").alias("label")).agg(*aggs).orderBy("label")
+        )
