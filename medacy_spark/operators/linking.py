@@ -86,6 +86,53 @@ def link_mentions(
     )
 
 
+def cui_overlay(
+    tokens: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    include_sem_types=(),
+) -> DataFrame:
+    """J9: overlay MetaMap-shaped candidate spans onto tokens — tokens
+    inside a candidate span gain feature_cui / feature_is_{semtype} entries
+    (metamap_component.py:94-136). Interval containment via the bucketed
+    band join; semantic-type include filter per metamap.py:206-235."""
+    from medacy_spark.operators.intervals import containment_join
+
+    cand = candidates.select(
+        id_col, "start", "end", "cui", "sem_types"
+    )
+    if include_sem_types:
+        cand = cand.filter(
+            F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in include_sem_types]))
+        )
+    toks = tokens.select(
+        id_col, "sent_id", "tok_id",
+        F.col("idx").alias("start"), F.col("end_idx").alias("end"), "word",
+    )
+    j = containment_join(toks, cand, id_col=id_col)
+    feat = F.map_concat(
+        F.create_map(F.lit("feature_cui"), F.col("r_cui")),
+        F.map_from_entries(
+            F.transform(
+                F.col("r_sem_types"),
+                lambda t: F.struct(
+                    F.concat(F.lit("feature_is_"), t).alias("key"),
+                    F.lit("True").alias("value"),
+                ),
+            )
+        ),
+    )
+    return j.select(
+        id_col,
+        F.col("l_sent_id").alias("sent_id"),
+        F.col("l_tok_id").alias("tok_id"),
+        F.col("l_start").alias("idx"),
+        F.col("l_end").alias("end_idx"),
+        F.col("l_word").alias("word"),
+        feat.alias("features"),
+    )
+
+
 def filter_semantic_types(
     links: DataFrame,
     include: Sequence[str] = (),

@@ -87,6 +87,30 @@ def one_hot(value: Column, vocabulary: Sequence[str]) -> Column:
     ])
 
 
+def table_rows(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """F3: the reference's table-row heuristic — lines matching
+    `^(.*?)[ \\t]{3,}\\d+` are table rows (table_matcher_component.py:31-40).
+    Returns (id, line_no, line, row_label) with char offsets derivable via
+    sources.converters.line_word_index."""
+    lines = documents.select(
+        id_col, F.posexplode(F.split("text", "\n")).alias("line_idx", "line")
+    )
+    pat = r"^(.*?)[ \t]{3,}\d+"
+    return lines.filter(F.col("line").rlike(pat)).select(
+        id_col,
+        (F.col("line_idx") + 1).cast("int").alias("line_no"),
+        "line",
+        F.regexp_extract("line", pat, 1).alias("row_label"),
+    )
+
+
+def switch_extension(path: Column, new_ext: str) -> Column:
+    """F10: replace a file extension — the reference's `str.strip('.txt')`
+    (model.py:215,310) strips *characters* not the suffix (a bug: 'текст.txt'
+    loses trailing t's); this implements the intended suffix semantics."""
+    return F.concat(F.regexp_replace(path, r"\.[A-Za-z0-9]+$", ""), F.lit(new_ext))
+
+
 def mention_text_from_doc(
     mentions: DataFrame, documents: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
