@@ -51,19 +51,32 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
     for _ in range(max_iter):
-        # propagate: each node takes min(own label, neighbors' labels)
+        # (1) neighbor propagation: min over adjacent labels
         nbr = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr.withColumnRenamed("a", "node"), "node", "left")
             .select(
                 "node",
                 F.least(
                     "component", F.coalesce("nbr_comp", "component")
                 ).alias("component"),
+            )
+        )
+        # (2) pointer jumping (path compression): label <- label-of-label.
+        # Converts O(diameter) propagation into O(log diameter) rounds —
+        # the standard trick for long chains in same_as graphs.
+        parent = stepped.select(
+            F.col("node").alias("_p"), F.col("component").alias("_pc")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["component"] == parent["_p"], "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("_pc", "component")).alias("component"),
             )
         )
         new_labels = new_labels.localCheckpoint()

@@ -94,6 +94,31 @@ def test_whole_stage_codegen_active(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_bucketed_join_is_shuffle_free(spark, doc_ids, tmp_path):
+    """The production layout claim: two tables bucketed on the doc key
+    join without any shuffle exchange (Iceberg bucket(url) analogue)."""
+    from medacy_spark.corpus.synth import clinical_documents, gold_mentions
+    from medacy_spark.plans.bucketing import read_table, write_bucketed
+
+    # warehouse.dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    docs = clinical_documents(doc_ids.filter("doc_id < 200")).select("doc_id", "text")
+    gold = gold_mentions(doc_ids.filter("doc_id < 200"))
+    write_bucketed(docs, "t_docs_b", "doc_id", buckets=8)
+    write_bucketed(gold, "t_gold_b", "doc_id", buckets=8)
+    try:
+        j = read_table(spark, "t_docs_b").join(read_table(spark, "t_gold_b"), "doc_id")
+        plan = _plan(j)
+        shuffle = [line for line in plan.splitlines()
+                   if "Exchange" in line and "BroadcastExchange" not in line]
+        assert shuffle == []
+        assert j.count() == gold.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_gold_b")
+
+
 def test_measures_strict_no_python(spark):
     """The strict scorer must stay JVM-side (no Python/Arrow eval nodes)."""
     from medacy_spark import contract
