@@ -72,6 +72,32 @@ def main() -> None:
             clinical_sec = timings[name]
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / clinical_sec, 1) if n_docs and clinical_sec else None
+
+    # sustained KG-pipeline throughput: 200k docs from a range spine
+    # (amortizes the per-stage fixed costs that dominate tiny sf dirs;
+    # methodology identical to tools/scaling_bench.py / BENCH.md)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.functions.html import extract_text_expr
+    from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
+    from medacy_spark.operators.relations import extract_triples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    def kg(n):
+        ids = spark.range(n).withColumnRenamed("id", "doc_id")
+        docs = clinical_documents(ids)
+        texts = docs.select("doc_id", extract_text_expr(F.col("html")).alias("text"))
+        return extract_triples(
+            detect_mentions(tokenize_native(texts), gazetteer_df(spark))
+        ).count()
+
+    kg(2000)  # codegen warm-up
+    n_sustained = 200_000
+    t0 = time.monotonic()
+    kg(n_sustained)
+    sustained = round(n_sustained / (time.monotonic() - t0), 1)
+
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
@@ -80,6 +106,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "kg_pipeline_docs_per_sec": docs_per_sec,
+        "kg_docs_per_sec_sustained_200k": sustained,
     }))
     spark.stop()
 
