@@ -1,0 +1,72 @@
+"""Structured-Streaming extensions: windowed aggregation + custom state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    from medacy_spark.streaming.windowed import windowed_event_counts
+
+    src = str(tmp_path / "events")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from win_counts")
+
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "cnt",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from medacy_spark.streaming.windowed import running_user_totals
+
+    src = tmp_path / "ev2"
+    src.mkdir()
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half1 = events.filter("event_id % 2 = 0")
+    half2 = events.filter("event_id % 2 = 1")
+    half1.write.parquet(str(src / "f1"))
+    half2.write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("usr_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the LAST emitted total per user must equal the batch count — state
+    # accumulated across micro-batches
+    got = spark.sql(
+        "select user_id, max(total) as total from usr_totals group by user_id"
+    )
+    want = events.groupBy("user_id").agg(F.count("*").alias("total"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
