@@ -824,7 +824,7 @@ WITH sents AS (
 feat AS (
   SELECT doc_id, sent_id, (doc_id * 131 + sent_id * 17) AS h FROM sents),
 vals AS (
-  SELECT doc_id, sent_id, h % 3 AS kind,
+  SELECT doc_id, sent_id, h % 4 AS kind,
          {pick(lex.DRUGS, 1)} AS drug,
          CAST(((h * 7 + 3) % 99) * 5 + 5 AS VARCHAR) AS num,
          {pick(lex.DOSE_UNITS, 2)} AS unit,
@@ -832,8 +832,19 @@ vals AS (
          {pick(lex.FREQUENCIES, 4)} AS freq,
          CAST((h + 5) % 9 + 2 AS VARCHAR) AS dnum,
          {pick(lex.TIME_UNITS, 6)} AS timeunit,
-         {pick(lex.ADES, 7)} AS ade
-  FROM feat)
+         {pick(lex.ADES, 7)} AS ade,
+         {pick(lex.DRUGS, 8)} AS drug_b,
+         CAST(((h * 11 + 7) % 99) * 5 + 5 AS VARCHAR) AS num_b,
+         {pick(lex.DOSE_UNITS, 9)} AS unit_b
+  FROM feat),
+-- kind-3 char offsets ("patient was prescribed " = 23 chars) for the
+-- nearest-drug assignment arithmetic (extract_triples tie: earlier drug)
+k3 AS (
+  SELECT *,
+         23 AS s_a,
+         23 + length(drug) + 1 AS n_a,
+         23 + length(drug) + 1 + length(num) + 1 + length(unit) + 1 + 4 AS s_b
+  FROM vals WHERE kind = 3)
 SELECT doc_id, drug AS subj_text, 'has_dosage' AS pred, num || ' ' || unit AS obj_text
   FROM vals WHERE kind IN (0, 1)
 UNION ALL
@@ -844,6 +855,18 @@ UNION ALL
 SELECT doc_id, drug, 'has_duration', dnum || ' ' || timeunit FROM vals WHERE kind = 1
 UNION ALL
 SELECT doc_id, drug, 'has_ade', ade FROM vals WHERE kind = 2
+UNION ALL
+-- kind 3: dose A attaches to whichever drug is closer (tie -> drug A)
+SELECT doc_id,
+       CASE WHEN (n_a - s_a) <= (s_b - n_a) THEN drug ELSE drug_b END,
+       'has_dosage', num || ' ' || unit
+  FROM k3
+UNION ALL
+SELECT doc_id, drug_b, 'has_dosage', num_b || ' ' || unit_b FROM k3
+UNION ALL
+SELECT doc_id, drug_b, 'has_route', route FROM k3
+UNION ALL
+SELECT doc_id, drug_b, 'has_frequency', freq FROM k3
 """
 
 
@@ -877,16 +900,14 @@ def q_clinical_triples(spark, sf):
 @q("clinical_mention_counts", f"""
 WITH sents AS (
   SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS sent_id FROM documents),
-feat AS (SELECT doc_id, sent_id, (doc_id * 131 + sent_id * 17) % 3 AS kind FROM sents),
-per_sent AS (
-  SELECT doc_id, sent_id,
-         CASE kind WHEN 0 THEN 4 WHEN 1 THEN 5 ELSE 2 END AS n_mentions
-  FROM feat)
+feat AS (SELECT doc_id, sent_id, (doc_id * 131 + sent_id * 17) % 4 AS kind FROM sents)
 SELECT t.tag, CAST(count(*) AS BIGINT) AS cnt FROM (
   SELECT doc_id, 'Drug' AS tag FROM feat
-  UNION ALL SELECT doc_id, 'Dose' FROM feat WHERE kind IN (0,1)
-  UNION ALL SELECT doc_id, 'Route' FROM feat WHERE kind IN (0,1)
-  UNION ALL SELECT doc_id, 'Frequency' FROM feat WHERE kind IN (0,1)
+  UNION ALL SELECT doc_id, 'Drug' FROM feat WHERE kind = 3
+  UNION ALL SELECT doc_id, 'Dose' FROM feat WHERE kind IN (0,1,3)
+  UNION ALL SELECT doc_id, 'Dose' FROM feat WHERE kind = 3
+  UNION ALL SELECT doc_id, 'Route' FROM feat WHERE kind IN (0,1,3)
+  UNION ALL SELECT doc_id, 'Frequency' FROM feat WHERE kind IN (0,1,3)
   UNION ALL SELECT doc_id, 'Duration' FROM feat WHERE kind = 1
   UNION ALL SELECT doc_id, 'ADE' FROM feat WHERE kind = 2) t
 GROUP BY t.tag ORDER BY t.tag

@@ -60,7 +60,7 @@ def clinical_token_stream(doc_ids: DataFrame) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.pmod(d, F.lit(3)).cast("int"))).alias("sent_id"),
     )
     h = (d * 131 + F.col("sent_id") * 17).cast("long")
-    kind = F.pmod(h, F.lit(3))
+    kind = F.pmod(h, F.lit(4))
 
     drug = _pick(lex.DRUGS, h + 1)
     num = (F.pmod(h * 7 + 3, F.lit(99)) * 5 + 5).cast("string")
@@ -70,6 +70,9 @@ def clinical_token_stream(doc_ids: DataFrame) -> DataFrame:
     dnum = (F.pmod(h + 5, F.lit(9)) + 2).cast("string")
     timeunit = _pick(lex.TIME_UNITS, h + 6)
     ade = _pick(lex.ADES, h + 7)
+    drug_b = _pick(lex.DRUGS, h + 8)
+    num_b = (F.pmod(h * 11 + 7, F.lit(99)) * 5 + 5).cast("string")
+    unit_b = _pick(lex.DOSE_UNITS, h + 9)
 
     def sent(words: list[Column | str], roles: list[str]) -> Column:
         ws = [F.lit(w) if isinstance(w, str) else w for w in words]
@@ -91,12 +94,20 @@ def clinical_token_stream(doc_ids: DataFrame) -> DataFrame:
         ["patient", "developed", ade, "after", "taking", drug, "."],
         [OUTSIDE, OUTSIDE, "ADE", OUTSIDE, OUTSIDE, "Drug", OUTSIDE],
     )
+    # two-drug sentence: nearest-subject assignment is data-dependent (the
+    # first dose may sit closer to the second drug than to its own)
+    s3 = sent(
+        ["patient", "was", "prescribed", drug, num, unit, "and",
+         drug_b, num_b, unit_b, route, freq, "."],
+        [OUTSIDE, OUTSIDE, OUTSIDE, "Drug", "Dose", "Dose", OUTSIDE,
+         "Drug", "Dose", "Dose", "Route", "Frequency", OUTSIDE],
+    )
 
     toks = sents.select(
         "doc_id",
         "sent_id",
         F.posexplode(
-            F.when(kind == 0, s0).when(kind == 1, s1).otherwise(s2)
+            F.when(kind == 0, s0).when(kind == 1, s1).when(kind == 2, s2).otherwise(s3)
         ).alias("pos", "tok"),
     ).select(
         "doc_id", "sent_id", "pos",
@@ -118,7 +129,7 @@ def _sent_words_expr(doc_id: Column, sent_id: Column) -> Column:
     """Array of words for one sentence — the same template arithmetic as
     clinical_token_stream, as a pure expression (no explode)."""
     h = (doc_id * 131 + sent_id * 17).cast("long")
-    kind = F.pmod(h, F.lit(3))
+    kind = F.pmod(h, F.lit(4))
     drug = _pick(lex.DRUGS, h + 1)
     num = (F.pmod(h * 7 + 3, F.lit(99)) * 5 + 5).cast("string")
     unit = _pick(lex.DOSE_UNITS, h + 2)
@@ -127,6 +138,9 @@ def _sent_words_expr(doc_id: Column, sent_id: Column) -> Column:
     dnum = (F.pmod(h + 5, F.lit(9)) + 2).cast("string")
     timeunit = _pick(lex.TIME_UNITS, h + 6)
     ade = _pick(lex.ADES, h + 7)
+    drug_b = _pick(lex.DRUGS, h + 8)
+    num_b = (F.pmod(h * 11 + 7, F.lit(99)) * 5 + 5).cast("string")
+    unit_b = _pick(lex.DOSE_UNITS, h + 9)
     s0 = F.array(
         F.lit("patient"), F.lit("was"), F.lit("prescribed"),
         drug, num, unit, route, freq, F.lit("."),
@@ -139,7 +153,11 @@ def _sent_words_expr(doc_id: Column, sent_id: Column) -> Column:
         F.lit("patient"), F.lit("developed"), ade,
         F.lit("after"), F.lit("taking"), drug, F.lit("."),
     )
-    return F.when(kind == 0, s0).when(kind == 1, s1).otherwise(s2)
+    s3 = F.array(
+        F.lit("patient"), F.lit("was"), F.lit("prescribed"),
+        drug, num, unit, F.lit("and"), drug_b, num_b, unit_b, route, freq, F.lit("."),
+    )
+    return F.when(kind == 0, s0).when(kind == 1, s1).when(kind == 2, s2).otherwise(s3)
 
 
 def clinical_documents(doc_ids: DataFrame) -> DataFrame:
@@ -194,9 +212,13 @@ def gold_mentions(doc_ids: DataFrame) -> DataFrame:
 
 
 def gold_triples(doc_ids: DataFrame) -> DataFrame:
-    """-> (doc_id, subj struct, pred, obj struct): Drug → every co-sentence
-    attribute mention, predicate by tag (BRAT R-line shape,
-    add_rel_to_brat.py:154)."""
+    """-> (doc_id, subj struct, pred, obj struct): each attribute mention
+    pairs with its NEAREST co-sentence Drug (the extraction semantics,
+    shared via operators.relations.extract_triples — assignment correctness
+    against independent offset arithmetic is proven by the clinical_triples
+    DuckDB oracle in contract.py)."""
+    from medacy_spark.operators.relations import extract_triples
+
     toks = clinical_token_stream(doc_ids)
     m = island_merge(
         toks,
@@ -204,19 +226,5 @@ def gold_triples(doc_ids: DataFrame) -> DataFrame:
         order_cols=["pos"],
         label_col="role",
         text_col="word",
-    )
-    drugs = m.filter(F.col("tag") == "Drug").select(
-        "doc_id", "sent_id",
-        F.struct("tag", "start", "end", "text").alias("subj"),
-    )
-    attrs = m.filter(F.col("tag") != "Drug").select(
-        "doc_id", "sent_id", "tag",
-        F.struct("tag", "start", "end", "text").alias("obj"),
-    )
-    pred = F.element_at(
-        F.create_map(*[F.lit(x) for kv in PRED_FOR_TAG.items() for x in kv]),
-        F.col("tag"),
-    )
-    return drugs.join(attrs, ["doc_id", "sent_id"]).select(
-        "doc_id", "subj", pred.alias("pred"), "obj"
-    )
+    ).select("doc_id", "sent_id", "tag", "start", "end", "text")
+    return extract_triples(m)

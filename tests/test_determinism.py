@@ -52,7 +52,7 @@ def test_corpus_text_pinned_hash(spark):
     digest = hashlib.sha256(joined.encode()).hexdigest()
     # pinned from the first verified run; any generator change must update
     # this deliberately
-    assert digest == "5199510b8d719beaf76407dc0b957f7e888a4e13d398b8da38466558dfc48992", digest
+    assert digest == "c80c56ef88f41052b24ef4d9057e184c6676f28999bd31d7e0933b6a9921aaba", digest
 
 
 def test_gold_triples_deterministic(spark, doc_ids):
