@@ -45,6 +45,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _clin_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id spine for the clinical queries. When ids are contiguous
+    0..n-1 (the testdata generator's contract) a spark.range spine is used:
+    its range-partitioning satisfies every doc-keyed distribution, so the
+    whole clinical pipeline plans with zero shuffle exchanges (BENCH.md).
+    Falls back to the parquet ids otherwise."""
+    stats = _docs(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    if stats["lo"] == 0 and stats["hi"] == stats["n"] - 1:
+        return spark.range(stats["n"]).withColumnRenamed("id", "doc_id")
+    return _docs(spark, sf_dir).select("doc_id")
+
+
 def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     t = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word"))
@@ -553,10 +567,10 @@ def q_containment_pairs(spark, sf):
 
 @q("pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-       CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-       CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
-       CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(avg(l_discount) AS DOUBLE), 8) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """)
@@ -565,10 +579,10 @@ def q_pricing_summary(spark, sf):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 8).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -577,7 +591,7 @@ def q_pricing_summary(spark, sf):
 
 @q("top_orders", """
 SELECT o.o_orderkey AS orderkey,
-       CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
@@ -592,7 +606,7 @@ def q_top_orders(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("o_orderkey").alias("orderkey"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
@@ -752,7 +766,7 @@ prof AS (
   FROM words)
 SELECT CASE WHEN swr >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred,
        CAST(count(*) AS BIGINT) AS docs,
-       CAST(avg(n_tokens) AS DOUBLE) AS avg_tokens
+       round(CAST(avg(n_tokens) AS DOUBLE), 9) AS avg_tokens
 FROM prof GROUP BY 1 ORDER BY 1
 """.format(stops=_sql_list(lex.EN_STOPWORDS)))
 def q_text_hygiene(spark, sf):
@@ -764,7 +778,7 @@ def q_text_hygiene(spark, sf):
     )
     return (
         prof.groupBy("lang_pred")
-        .agg(F.count("*").alias("docs"), F.avg("n_tokens").alias("avg_tokens"))
+        .agg(F.count("*").alias("docs"), F.round(F.avg("n_tokens"), 9).alias("avg_tokens"))
         .orderBy("lang_pred")
     )
 
@@ -882,7 +896,7 @@ def q_clinical_triples(spark, sf):
     from medacy_spark.operators.relations import extract_triples
     from medacy_spark.operators.tokenize import tokenize_native
 
-    ids = _docs(spark, sf).select("doc_id")
+    ids = _clin_ids(spark, sf)
     docs = clinical_documents(ids)
     # consume text via the html extraction path (byte-identity exercised)
     texts = docs.select("doc_id", extract_text_expr(F.col("html")).alias("text"))
@@ -917,7 +931,7 @@ def q_clinical_mention_counts(spark, sf):
     from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
     from medacy_spark.operators.tokenize import tokenize_native
 
-    ids = _docs(spark, sf).select("doc_id")
+    ids = _clin_ids(spark, sf)
     docs = clinical_documents(ids)
     toks = tokenize_native(docs.select("doc_id", "text"))
     m = detect_mentions(toks, gazetteer_df(spark))
@@ -1065,12 +1079,12 @@ per AS (
   LEFT JOIN (SELECT fold, tag, CAST(sum(tp) AS BIGINT) AS tp FROM key_tp GROUP BY fold, tag) t
     ON gt.fold = t.fold AND gt.tag = t.tag)
 SELECT label,
-       CAST(avg(precision) AS DOUBLE) AS avg_precision,
-       CAST(min(precision) AS DOUBLE) AS min_precision,
-       CAST(max(precision) AS DOUBLE) AS max_precision,
-       CAST(avg(recall) AS DOUBLE) AS avg_recall,
-       CAST(min(recall) AS DOUBLE) AS min_recall,
-       CAST(max(recall) AS DOUBLE) AS max_recall
+       round(CAST(avg(precision) AS DOUBLE), 9) AS avg_precision,
+       round(CAST(min(precision) AS DOUBLE), 9) AS min_precision,
+       round(CAST(max(precision) AS DOUBLE), 9) AS max_precision,
+       round(CAST(avg(recall) AS DOUBLE), 9) AS avg_recall,
+       round(CAST(min(recall) AS DOUBLE), 9) AS min_recall,
+       round(CAST(max(recall) AS DOUBLE), 9) AS max_recall
 FROM per GROUP BY label ORDER BY label
 """.format(kw=_sql_list(KEYWORDS)))
 def q_cross_fold_measures(spark, sf):
@@ -1106,12 +1120,12 @@ def q_cross_fold_measures(spark, sf):
         )
     )
     return per.groupBy("label").agg(
-        F.avg("precision").alias("avg_precision"),
-        F.min("precision").alias("min_precision"),
-        F.max("precision").alias("max_precision"),
-        F.avg("recall").alias("avg_recall"),
-        F.min("recall").alias("min_recall"),
-        F.max("recall").alias("max_recall"),
+        F.round(F.avg("precision"), 9).alias("avg_precision"),
+        F.round(F.min("precision"), 9).alias("min_precision"),
+        F.round(F.max("precision"), 9).alias("max_precision"),
+        F.round(F.avg("recall"), 9).alias("avg_recall"),
+        F.round(F.min("recall"), 9).alias("min_recall"),
+        F.round(F.max("recall"), 9).alias("max_recall"),
     ).orderBy("label")
 
 
@@ -1137,7 +1151,7 @@ def q_feature_tuples(spark, sf):
     from medacy_spark.operators.features import extract_feature_tuples
     from medacy_spark.operators.tokenize import tokenize_native
 
-    ids = _docs(spark, sf).select("doc_id").filter(F.col("doc_id") < 200)
+    ids = _clin_ids(spark, sf).filter(F.col("doc_id") < 200)
     toks = tokenize_native(clinical_documents(ids).select("doc_id", "text"))
     ft = extract_feature_tuples(toks, window_size=3)
     return ft.select(
