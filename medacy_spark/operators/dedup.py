@@ -195,6 +195,61 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_bands: int = 2,
+) -> DataFrame:
+    """Corpus-level near-duplicate removal: minhash-LSH candidate pairs →
+    connected components over the near-dup graph → keep the minimum id of
+    each duplicate cluster. Returns the surviving rows of ``df``.
+
+    This is the standard web-corpus dedup topology (candidate generation
+    never materializes the cross product; the CC graph is tiny relative to
+    the corpus). min_bands tunes precision of the candidate edges.
+    """
+    from medacy_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands).filter(
+        F.col("n_bands") >= min_bands
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    victims = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    lang: str | None = None,
+) -> DataFrame:
+    """Training-data hygiene composition: language filter → quality filter →
+    exact dedup (keep min id) → near-dup removal. Each stage is the
+    operator documented elsewhere; this is the composed pipeline a 100 TB
+    pretraining corpus runs before tokenization."""
+    from medacy_spark.operators.textstats import detect_language, quality_score
+
+    out = df
+    if lang:
+        out = out.filter(detect_language(F.col(text_col)) == lang)
+    out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    # exact dedup: keep the smallest id per identical text
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.xxhash64(text_col)).orderBy(id_col)
+    out = out.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    return dedup_corpus(out, text_col, id_col)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -58,6 +58,43 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
 
 
+def test_dedup_and_clean_corpus(spark):
+    from medacy_spark.operators.dedup import clean_corpus, dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the old barn where it sleeps all day long")
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("barn", "shed")),           # near dup of 1
+        (4, "totally different content with no shared shingles at all here"
+            " and the words keep being distinct everywhere throughout"),
+        (5, "x y"),                                  # low quality (short)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_corpus(df).collect()}
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept        # exact dup removed (same cluster, higher id)
+    assert 3 not in kept        # near dup removed
+
+    cleaned = {r["doc_id"] for r in clean_corpus(df, min_quality=0.3).collect()}
+    assert cleaned == {1, 4}    # dup cluster collapsed + low-quality dropped
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from medacy_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+    bf = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    iv = {(r["q_id"], r["vec_id"]) for r in
+          ivf_topk(emb, q, n_cells=8, n_probe=4, k=5).collect()}
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.5        # probing half the cells on random vectors
+    # self-match must always survive (its cell is probed first)
+    assert all((i, i) in iv for i in range(10))
+
+
 def test_topk_self_match_and_lsh_consistency(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter("vec_id < 4").select(F.col("vec_id").alias("q_id"), "embedding")
