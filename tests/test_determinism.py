@@ -60,3 +60,21 @@ def test_gold_triples_deterministic(spark, doc_ids):
     h1 = _frame_hash(gold_triples(ids).select("doc_id", "pred", F.col("obj.text")))
     h2 = _frame_hash(gold_triples(ids).select("doc_id", "pred", F.col("obj.text")))
     assert h1 == h2
+
+
+def test_no_row_level_python_udfs():
+    """Input-hint contract: no per-row Python UDFs anywhere in the engine —
+    only Arrow-batched pandas UDFs / mapInPandas (CI grep per SURVEY §7.4)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "medacy_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        # F.udf( / @udf( — row-at-a-time; pandas_udf is the allowed form
+        for m in re.finditer(r"(?<!pandas_)\budf\s*\(", src):
+            frag = src[max(0, m.start() - 20):m.start()]
+            if "pandas_" not in frag:
+                offenders.append(f"{p.name}:{src[:m.start()].count(chr(10)) + 1}")
+    assert offenders == [], offenders
