@@ -119,6 +119,24 @@ def test_bucketed_join_is_shuffle_free(spark, doc_ids, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_gold_b")
 
 
+def test_partition_pruning(spark, doc_ids, tmp_path):
+    """Writes partitioned by lang must scan only the filtered partition."""
+    from medacy_spark.corpus.synth import clinical_documents
+
+    docs = clinical_documents(doc_ids.filter("doc_id < 100")).withColumn(
+        "lang2", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    path = str(tmp_path / "p")
+    docs.select("doc_id", "text", "lang2").write.partitionBy("lang2").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("lang2") == "en").select("doc_id")
+    plan = _plan(df)
+    scan = "\n".join(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "lang2" in scan  # pruning predicate reached the scan
+    assert df.count() == 50
+
+
 def test_measures_strict_no_python(spark):
     """The strict scorer must stay JVM-side (no Python/Arrow eval nodes)."""
     from medacy_spark import contract
