@@ -91,9 +91,11 @@ def gold_overlay(
         & (tokens["idx"] >= fixed["_gs"]) & (tokens["end_idx"] <= fixed["_ge"]),
         "left",
     )
-    # later gold span in (start, end) order wins a contested token
+    # later gold span in (start, end) order wins a contested token; tag
+    # breaks exact-duplicate-span ties deterministically
     w = Window.partitionBy(id_col, "idx").orderBy(
-        F.col("_gs").desc_nulls_last(), F.col("_ge").desc_nulls_last()
+        F.col("_gs").desc_nulls_last(), F.col("_ge").desc_nulls_last(),
+        F.col("_tag").desc_nulls_last(),
     )
     return (
         j.withColumn("_rn", F.row_number().over(w))
