@@ -104,6 +104,22 @@ def test_reference_ambiguity_golden(spark):
     assert ambiguity_entities(m, m2).count() == 26
 
 
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference fixtures unavailable")
+def test_reference_ann_write_parse_roundtrip(spark):
+    """Parse the reference's own .ann fixtures, re-serialize with our
+    writer, re-parse — the mention relation must survive exactly (T ids
+    renumber, which is the reference's own to_ann behavior)."""
+    df = spark.read.text(f"{REF}/sample_dataset_1/PMC1314908.ann").select(
+        F.lit(1).alias("doc_id"), F.col("value").alias("line")
+    )
+    m = from_ann_lines(df)
+    again = from_ann_lines(to_ann_lines(m))
+    a = m.select("doc_id", "tag", "start", "end", F.translate("text", "\n", " ").alias("text"))
+    b = again.select("doc_id", "tag", "start", "end", "text")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_labels_and_counts(spark):
     m = _mentions(spark, [(1, "A", 0, 5, "x"), (2, "A", 0, 5, "x"), (2, "B", 6, 7, "y")])
     assert {r["tag"] for r in labels(m).collect()} == {"A", "B"}
