@@ -307,29 +307,34 @@ def q_ambiguity_counts(spark, sf):
 
 
 @q("confusion_cells", BASE_CTES + """
-SELECT g.tag AS gold_tag, p.tag AS sys_tag, CAST(count(*) AS BIGINT) AS cnt
-FROM gold g JOIN pred p ON g.doc_id = p.doc_id
- AND ((g.tag = p.tag AND g.start <= p.start AND g."end" >= p."end")
-   OR (g.tag <> p.tag AND greatest(0, least(g."end", p."end") - greatest(g.start, p.start)) <> 0))
-GROUP BY 1, 2 ORDER BY 1, 2
+, g AS (SELECT DISTINCT doc_id, tag, start, "end", text FROM gold),
+diag AS (
+  -- intersection() returns a SET of matched gold tuples -> distinct golds
+  SELECT tag AS gold_tag, tag AS sys_tag, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT DISTINCT g.doc_id, g.tag, g.start, g."end", g.text
+        FROM g JOIN pred p ON g.doc_id = p.doc_id AND g.tag = p.tag
+         AND g.start <= p.start AND g."end" >= p."end")
+  GROUP BY 1, 2),
+offd AS (
+  -- compute_ambiguity dict-assigns per gold: LAST overlapping diff-label
+  -- candidate in (start, end) order wins, one increment per distinct gold
+  SELECT gold_tag, sys_tag, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT g.tag AS gold_tag, p.tag AS sys_tag,
+           row_number() OVER (
+             PARTITION BY g.doc_id, g.tag, g.start, g."end", g.text
+             ORDER BY p.start DESC, p."end" DESC, p.tag DESC, p.text DESC) AS rn
+    FROM g JOIN pred p ON g.doc_id = p.doc_id AND g.tag <> p.tag
+     AND greatest(0, least(g."end", p."end") - greatest(g.start, p.start)) <> 0)
+  WHERE rn = 1 GROUP BY 1, 2)
+SELECT gold_tag, sys_tag, cnt
+FROM (SELECT * FROM diag UNION ALL SELECT * FROM offd)
+ORDER BY 1, 2
 """)
 def q_confusion_cells(spark, sf):
-    from medacy_spark.functions.spans import lenient_contains, overlap_len
-    g = gold_df(spark, sf).select(
-        F.col("doc_id").alias("id"), F.col("tag").alias("gold_tag"),
-        F.col("start").alias("gs"), F.col("end").alias("ge"))
-    p = pred_df(spark, sf).select(
-        F.col("doc_id").alias("id2"), F.col("tag").alias("sys_tag"),
-        F.col("start").alias("ps"), F.col("end").alias("pe"))
-    same = (F.col("gold_tag") == F.col("sys_tag")) & lenient_contains(
-        F.col("gs"), F.col("ge"), F.col("ps"), F.col("pe"), 0.0)
-    diff = (F.col("gold_tag") != F.col("sys_tag")) & (
-        overlap_len(F.col("gs"), F.col("ge"), F.col("ps"), F.col("pe")) != 0)
-    return (
-        g.join(p, (F.col("id") == F.col("id2")) & (same | diff))
-        .groupBy("gold_tag", "sys_tag").agg(F.count("*").alias("cnt"))
-        .orderBy("gold_tag", "sys_tag")
-    )
+    from medacy_spark.operators.annotations import confusion_cells
+    return confusion_cells(
+        gold_df(spark, sf), pred_df(spark, sf), leniency=0.0
+    ).orderBy("gold_tag", "sys_tag")
 
 
 # ---- J10/A3/A4: measures + P/R/F1, strict & lenient, with micro rollup
@@ -411,7 +416,7 @@ def q_lexical_variation(spark, sf):
 @q("ann_lines", BASE_CTES + """
 SELECT doc_id,
        printf('T%d\t%s %d %d\t%s',
-              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end") AS INT),
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end", tag, replace(text, chr(10), ' ')) AS INT),
               tag, start, "end", replace(text, chr(10), ' ')) AS line
 FROM gold ORDER BY doc_id, line
 """)
@@ -427,7 +432,7 @@ def q_ann_lines(spark, sf):
 , lines AS (
   SELECT doc_id,
          printf('T%d\t%s %d %d\t%s',
-                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end") AS INT),
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end", tag, replace(text, chr(10), ' ')) AS INT),
                 tag, start, "end", text) AS line
   FROM gold)
 SELECT doc_id,

@@ -157,6 +157,62 @@ def ambiguity_entities(a: DataFrame, b: DataFrame, id_col: str = "doc_id") -> Da
     return left.join(right, cond, "left_semi").distinct()
 
 
+def confusion_cells(
+    gold: DataFrame,
+    system: DataFrame,
+    leniency: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A2 cells, unpivoted — reference-exact (annotations.py:197-232).
+
+    Off-diagonal: ``compute_ambiguity`` (annotations.py:174-195) keys a dict
+    by the gold EntTuple and *assigns* (not appends) each overlapping
+    different-label system entity, so only the LAST candidate in iteration
+    order survives — one increment per distinct ambiguous gold. Iteration
+    order is the annotations-setter sort: (start, end) ascending, stable
+    (annotations.py:71-73); we tie-break equal (start, end) candidates by
+    (tag, text) for run-to-run determinism.
+    Diagonal: ``intersection`` (annotations.py:163-172) returns a *set* of
+    matched gold tuples — count distinct matched golds, not (gold, system)
+    pairs. A gold can contribute to both a diagonal and an off-diagonal
+    cell, as in the reference (the two passes are independent).
+    """
+    g = gold.select(
+        F.col(id_col).alias("id"), F.col("tag").alias("gold_tag"),
+        F.col("start").alias("g_start"), F.col("end").alias("g_end"),
+        F.col("text").alias("g_text"),
+    ).distinct()  # dict/set keys collapse exact-duplicate gold tuples
+    s = system.select(
+        F.col(id_col).alias("id2"), F.col("tag").alias("sys_tag"),
+        F.col("start").alias("s_start"), F.col("end").alias("s_end"),
+        F.col("text").alias("s_text"),
+    )
+    same = (F.col("gold_tag") == F.col("sys_tag")) & lenient_contains(
+        F.col("g_start"), F.col("g_end"), F.col("s_start"), F.col("s_end"), leniency
+    )
+    diag = (
+        g.join(s, (F.col("id") == F.col("id2")) & same, "left_semi")
+        .groupBy("gold_tag")
+        .agg(F.count("*").alias("cnt"))
+        .select("gold_tag", F.col("gold_tag").alias("sys_tag"), "cnt")
+    )
+    diff = (F.col("gold_tag") != F.col("sys_tag")) & (
+        overlap_len(F.col("g_start"), F.col("g_end"), F.col("s_start"), F.col("s_end")) != 0
+    )
+    w = Window.partitionBy("id", "gold_tag", "g_start", "g_end", "g_text").orderBy(
+        F.col("s_start").desc(), F.col("s_end").desc(),
+        F.col("sys_tag").desc(), F.col("s_text").desc(),
+    )
+    off = (
+        g.join(s, (F.col("id") == F.col("id2")) & diff)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("gold_tag", "sys_tag")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return diag.unionByName(off)
+
+
 def confusion_matrix(
     gold: DataFrame,
     system: DataFrame,
@@ -166,26 +222,11 @@ def confusion_matrix(
 ) -> DataFrame:
     """A2: square matrix over the label set (annotations.py:197-232).
 
-    Diagonal = lenient same-tag intersections; off-diagonal = overlapping
-    spans with different tags. Output: one row per gold tag, one column per
-    system tag (pivot), missing combos zero-filled.
+    Cells from :func:`confusion_cells` (reference-exact last-candidate
+    off-diagonals, distinct-gold diagonals), pivoted: one row per gold tag,
+    one column per system tag, missing combos zero-filled.
     """
-    g = gold.select(
-        F.col(id_col).alias("id"), F.col("tag").alias("gold_tag"),
-        F.col("start").alias("g_start"), F.col("end").alias("g_end"),
-    )
-    s = system.select(
-        F.col(id_col).alias("id2"), F.col("tag").alias("sys_tag"),
-        F.col("start").alias("s_start"), F.col("end").alias("s_end"),
-    )
-    same = (F.col("gold_tag") == F.col("sys_tag")) & lenient_contains(
-        F.col("g_start"), F.col("g_end"), F.col("s_start"), F.col("s_end"), leniency
-    )
-    diff = (F.col("gold_tag") != F.col("sys_tag")) & (
-        overlap_len(F.col("g_start"), F.col("g_end"), F.col("s_start"), F.col("s_end")) != 0
-    )
-    pairs = g.join(s, (F.col("id") == F.col("id2")) & (same | diff))
-    cells = pairs.groupBy("gold_tag", "sys_tag").agg(F.count("*").alias("cnt"))
+    cells = confusion_cells(gold, system, leniency, id_col)
     if entities is None:
         entities = sorted(
             r["tag"] for r in labels(gold.unionByName(system).select("tag")).collect()
@@ -212,8 +253,10 @@ def lexical_variation(mentions: DataFrame) -> DataFrame:
 def to_ann_lines(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """S3: BRAT writer — renumber T ids 1..n in (start, end) order, newlines
     in mention text become spaces, tab-formatted lines
-    (annotations.py:96-115)."""
-    w = Window.partitionBy(id_col).orderBy("start", "end")
+    (annotations.py:96-115). The reference's sort is (start, end) with
+    stable insertion-order ties (annotations.py:71-73); (tag, text) break
+    exact span ties here so numbering is deterministic across runs."""
+    w = Window.partitionBy(id_col).orderBy("start", "end", "tag", "_text")
     return mentions.select(
         id_col, "tag", "start", "end",
         F.translate("text", "\n", " ").alias("_text"),
@@ -236,13 +279,19 @@ def from_ann_lines(lines: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Handles the reference's discontinuous-span collapse (first start, last
     end — annotations.py:57-58): spans like `12 15;20 25` become (12, 25).
+    Lines are validated against the full brat_pattern
+    (annotations.py:22: ``T(\\d+)\\t(\\S+) ((\\d+ \\d+;)*\\d+ \\d+)\\t(.+)``)
+    so malformed T-lines — single-number spans, empty mention text — are
+    dropped exactly as the reference's finditer skips them.
     Input: (id, line).
     """
     span_part = F.regexp_extract("line", r"^T\d+\t\S+ ([\d ;]+)\t", 1)
     first_start = F.split(F.split(span_part, ";").getItem(0), " ").getItem(0)
     last_pair = F.element_at(F.split(span_part, ";"), -1)
     last_end = F.element_at(F.split(F.trim(last_pair), " "), -1)
-    return lines.filter(F.col("line").rlike(r"^T\d+\t")).select(
+    return lines.filter(
+        F.col("line").rlike(r"^T\d+\t\S+ (\d+ \d+;)*\d+ \d+\t.")
+    ).select(
         id_col,
         F.regexp_extract("line", r"^T\d+\t(\S+)", 1).alias("tag"),
         first_start.cast("long").alias("start"),

@@ -30,10 +30,12 @@ from pyspark.sql import functions as F
 
 
 def _aligned_spans(
-    tokens: DataFrame, gold: DataFrame, id_col: str
+    tokens: DataFrame, gold: DataFrame, id_col: str, order_col: str | None = None
 ) -> DataFrame:
     """gold -> (id, tag, start, end, fixed_end, delta) for the best-aligned
-    candidate; fixed_end is null when unfixable."""
+    candidate; fixed_end is null when unfixable. When ``order_col`` names a
+    file/ingest-order column on ``gold`` it is carried through (max over
+    exact-duplicate spans) for reference-parity tie-breaking downstream."""
     g = gold.filter(F.col("start") <= F.col("end"))
     cand = g.select(
         id_col, "tag", "start", "end",
@@ -65,9 +67,16 @@ def _aligned_spans(
                 F.col("_best.cand_end").alias("fixed_end"),
                 (F.col("_best._prio") != 0).alias("repaired"))
     )
-    return g.select(id_col, "tag", "start", "end").join(
+    out = g.select(id_col, "tag", "start", "end").join(
         best, [id_col, "tag", "start", "end"], "left"
     )
+    if order_col:
+        ords = (
+            g.groupBy(id_col, "tag", "start", "end")
+            .agg(F.max(order_col).alias(order_col))
+        )
+        out = out.join(ords, [id_col, "tag", "start", "end"], "left")
+    return out
 
 
 def gold_overlay(
@@ -75,15 +84,27 @@ def gold_overlay(
     gold: DataFrame,
     id_col: str = "doc_id",
     labels: Sequence[str] | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """tokens + gold mentions -> tokens with a `gold_label` column ('O' when
-    uncovered)."""
-    spans = _aligned_spans(tokens, gold, id_col)
+    uncovered).
+
+    Contested tokens: the reference's sequential overwrite iterates golds
+    sorted by ORIGINAL (start, end) — annotations.py:71-73 — with Python's
+    stable sort keeping file order on exact (start, end) ties, so the later
+    span in that order wins. We therefore order the last-writer-wins window
+    by the original (start, end), NOT the repaired end; ``order_col`` (a
+    file/ingest-order column on ``gold``, larger = later in file) replays
+    the stable-tie behavior, with tag as a final deterministic fallback.
+    """
+    spans = _aligned_spans(tokens, gold, id_col, order_col=order_col)
     if labels:
         spans = spans.filter(F.col("tag").isin(list(labels)))
     fixed = spans.filter(F.col("fixed_end").isNotNull()).select(
         F.col(id_col).alias("_id"), F.col("tag").alias("_tag"),
-        F.col("start").alias("_gs"), F.col("fixed_end").alias("_ge"),
+        F.col("start").alias("_gs"), F.col("end").alias("_geo"),
+        F.col("fixed_end").alias("_ge"),
+        *([F.col(order_col).alias("_ord")] if order_col else []),
     )
     j = tokens.join(
         fixed,
@@ -91,12 +112,11 @@ def gold_overlay(
         & (tokens["idx"] >= fixed["_gs"]) & (tokens["end_idx"] <= fixed["_ge"]),
         "left",
     )
-    # later gold span in (start, end) order wins a contested token; tag
-    # breaks exact-duplicate-span ties deterministically
-    w = Window.partitionBy(id_col, "idx").orderBy(
-        F.col("_gs").desc_nulls_last(), F.col("_ge").desc_nulls_last(),
-        F.col("_tag").desc_nulls_last(),
-    )
+    order = [F.col("_gs").desc_nulls_last(), F.col("_geo").desc_nulls_last()]
+    if order_col:
+        order.append(F.col("_ord").desc_nulls_last())
+    order.append(F.col("_tag").desc_nulls_last())
+    w = Window.partitionBy(id_col, "idx").orderBy(*order)
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

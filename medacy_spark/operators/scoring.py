@@ -86,15 +86,18 @@ def match_counts_lenient(
     """
     g = _prep(gold, id_col)
     s = _prep(system, id_col)
+    # doc ids pass through untouched — derive the output field type from the
+    # input so string/long/etc. id columns all work
+    doc_type = g.schema["doc"].dataType.simpleString()
 
     def run(gpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc": pd.Series(dtype="int64"),
+        empty = pd.DataFrame({"doc": pd.Series(dtype="object"),
                               "tag": pd.Series(dtype="object"),
                               "tp": pd.Series(dtype="int64"),
                               "consumed": pd.Series(dtype="int64")})
         if gpdf.empty or spdf.empty:
             return empty
-        doc = int(gpdf["doc"].iloc[0]) if not gpdf.empty else int(spdf["doc"].iloc[0])
+        doc = gpdf["doc"].iloc[0]
         golds = sorted(
             zip(gpdf["start"], gpdf["end"], gpdf["tag"]), key=lambda t: (t[0], t[1])
         )
@@ -144,7 +147,7 @@ def match_counts_lenient(
     return (
         g.groupBy("doc")
         .cogroup(s.groupBy("doc"))
-        .applyInPandas(run, schema="doc long, tag string, tp long, consumed long")
+        .applyInPandas(run, schema=f"doc {doc_type}, tag string, tp long, consumed long")
     )
 
 

@@ -125,3 +125,80 @@ def test_labels_and_counts(spark):
     assert {r["tag"] for r in labels(m).collect()} == {"A", "B"}
     got = {r["tag"]: r["cnt"] for r in counts(m).collect()}
     assert got == {"A": 2, "B": 1}
+
+
+def test_confusion_cells_reference_semantics(spark):
+    """compute_confusion_matrix parity (annotations.py:197-232): the
+    off-diagonal dict-assignment keeps only the LAST overlapping
+    different-label candidate per distinct gold; the diagonal counts the
+    distinct matched-gold SET, not (gold, system) pairs."""
+    from medacy_spark.operators.annotations import confusion_cells
+
+    gold = _mentions(spark, [(1, "A", 0, 10, "g1"), (1, "B", 20, 30, "g2")])
+    sys = _mentions(
+        spark,
+        [
+            # two same-tag contained matches for g1 → diagonal still 1
+            (1, "A", 0, 5, "s1"),
+            (1, "A", 5, 10, "s2"),
+            # two diff-label overlaps for g1: C(2,6) then D(8,12) — only the
+            # LAST in (start, end) order (D) survives the dict assignment
+            (1, "C", 2, 6, "s3"),
+            (1, "D", 8, 12, "s4"),
+            # one diff-label overlap for g2
+            (1, "C", 25, 28, "s5"),
+        ],
+    )
+    cells = {
+        (r["gold_tag"], r["sys_tag"]): r["cnt"]
+        for r in confusion_cells(gold, sys).collect()
+    }
+    assert cells == {("A", "A"): 1, ("A", "D"): 1, ("B", "C"): 1}
+
+
+def test_confusion_cells_duplicate_golds_collapse(spark):
+    """Exact-duplicate gold tuples are one dict/set key in the reference."""
+    from medacy_spark.operators.annotations import confusion_cells
+
+    gold = _mentions(spark, [(1, "A", 0, 10, "g"), (1, "A", 0, 10, "g")])
+    sys = _mentions(spark, [(1, "A", 0, 10, "g"), (1, "B", 5, 15, "x")])
+    cells = {
+        (r["gold_tag"], r["sys_tag"]): r["cnt"]
+        for r in confusion_cells(gold, sys).collect()
+    }
+    assert cells == {("A", "A"): 1, ("A", "B"): 1}
+
+
+def test_confusion_matrix_pivot(spark):
+    from medacy_spark.operators.annotations import confusion_matrix
+
+    gold = _mentions(spark, [(1, "A", 0, 10, "g1"), (1, "B", 20, 30, "g2")])
+    sys = _mentions(spark, [(1, "A", 0, 10, "g1"), (1, "A", 22, 28, "s")])
+    rows = {r["gold_tag"]: r for r in confusion_matrix(gold, sys).collect()}
+    assert rows["A"]["A"] == 1 and rows["A"]["B"] == 0
+    assert rows["B"]["A"] == 1 and rows["B"]["B"] == 0
+
+
+def test_from_ann_lines_rejects_malformed(spark):
+    """Reference brat_pattern (annotations.py:22) requires (\\d+ \\d+;)*\\d+ \\d+
+    spans and non-empty mention text; malformed T-lines are skipped."""
+    lines = spark.createDataFrame(
+        [
+            (1, "T1\tA 0 5\tok"),
+            (1, "T2\tB 7\tsingle-number span"),   # rejected
+            (1, "T3\tC 9 12\t"),                  # empty text → rejected
+            (1, "T4\tD nine 12\twords"),          # non-numeric → rejected
+            (1, "#1\tAnnotatorNotes T1\tnote"),   # not a T line
+            (1, "T5\tE 1 4;6 9\tdiscontinuous ok"),
+        ],
+        "doc_id long, line string",
+    )
+    got = {(r["tag"], r["start"], r["end"]) for r in from_ann_lines(lines).collect()}
+    assert got == {("A", 0, 5), ("E", 1, 9)}
+
+
+def test_to_ann_lines_tied_spans_deterministic(spark):
+    """Spans tied on (start, end) renumber deterministically by (tag, text)."""
+    m = _mentions(spark, [(1, "B", 0, 5, "x"), (1, "A", 0, 5, "x")])
+    got = [r["line"] for r in to_ann_lines(m).orderBy("line").collect()]
+    assert got == ["T1\tA 0 5\tx", "T2\tB 0 5\tx"]

@@ -92,3 +92,22 @@ def test_prf_zero_division(spark):
     assert rows["A"]["precision"] == 0.0 and rows["A"]["recall"] == 0.0
     assert rows["B"]["precision"] == 0.0
     assert rows["system"]["f1"] == 0.0
+
+
+def test_lenient_measures_string_doc_ids(spark):
+    """Doc ids pass through untouched — string id columns must work
+    (reference keys documents by filename, a string)."""
+    from medacy_spark.operators.scoring import measures
+
+    rows = [("fileA.txt", "Drug", 0, 7, "aspirin"), ("fileB.txt", "Drug", 3, 9, "tylnol")]
+    gold = spark.createDataFrame(
+        rows, "doc_id string, tag string, start long, end long, text string"
+    )
+    sys = spark.createDataFrame(
+        [("fileA.txt", "Drug", 1, 6, "spiri")],
+        "doc_id string, tag string, start long, end long, text string",
+    )
+    got = {r["tag"]: (r["tp"], r["fp"], r["fn"]) for r in
+           measures(gold, sys, mode="lenient").collect()}
+    assert got["Drug"] == (1, 0, 1)
+    assert got["system"] == (1, 0, 1)

@@ -218,3 +218,46 @@ def test_gold_overlay_contested_token_last_wins(spark):
     out = gold_overlay(toks, gold)
     lab = {r["idx"]: r["gold_label"] for r in out.collect()}
     assert lab == {0: "A", 2: "B", 4: "B"}  # token 'b' claimed by later span
+
+
+def test_gold_overlay_orders_by_original_end(spark):
+    """The reference's sequential overwrite iterates golds sorted by
+    ORIGINAL (start, end) (annotations.py:71-73) — a repaired end must not
+    change which span wins a contested token."""
+    from medacy_spark.operators.overlay import gold_overlay
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    toks = tokenize_native(docs)  # tokens [0,2) [3,5)
+    gold = spark.createDataFrame(
+        [
+            (1, "Z", 0, 2, "ab"),   # exact; earlier original end
+            (1, "A", 0, 3, "ab "),  # repaired end→2; LATER original (0,3)
+        ],
+        "doc_id long, tag string, start long, end long, text string",
+    )
+    out = gold_overlay(toks, gold)
+    lab = {r["idx"]: r["gold_label"] for r in out.collect()}
+    # original order Z(0,2) < A(0,3): A writes last and wins, even though
+    # tag-desc or fixed-end ordering would pick Z
+    assert lab[0] == "A"
+
+
+def test_gold_overlay_order_col_breaks_exact_ties(spark):
+    """Exact-duplicate (start, end) spans: stable file order — the later
+    line in the .ann file wins (Python stable sort + overwrite)."""
+    from medacy_spark.operators.overlay import gold_overlay
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    toks = tokenize_native(docs)
+    gold = spark.createDataFrame(
+        [
+            (1, "Zed", 0, 2, "ab", 1),   # first in file
+            (1, "Ann", 0, 2, "ab", 2),   # later in file → wins
+        ],
+        "doc_id long, tag string, start long, end long, text string, ord long",
+    )
+    out = gold_overlay(toks, gold, order_col="ord")
+    lab = {r["idx"]: r["gold_label"] for r in out.collect()}
+    assert lab[0] == "Ann"  # tag-desc alone would pick 'Zed'
