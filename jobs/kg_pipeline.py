@@ -64,9 +64,11 @@ def main(argv: list[str] | None = None) -> None:
         mentions = detect_mentions(toks, gazetteer_df(spark))
         return mentions
 
+    # key by doc_id: it survives into the stage output (mentions), so the
+    # single-job writer re-derives partition_id without carrying url through
     mentions = run_stage_checkpointed(
         spark, docs, stage_extract,
-        run_id=args.run_id, stage="mentions", key_col="url",
+        run_id=args.run_id, stage="mentions", key_col="doc_id",
         n_partitions=args.partitions,
         output_path=f"{args.output}/mentions",
         metrics_path=f"{args.output}/metrics",

@@ -31,27 +31,28 @@ def test_checkpoint_resume_skips_completed(spark, doc_ids, tmp_path):
     )
     assert res.count() == 100
     assert completed_partitions(spark, met, "r1", "len") == [0, 1, 2, 3]
-    first_calls = len(calls)
-    assert first_calls == 4
+    # all 4 remaining partitions processed by ONE pruned job, not a loop
+    assert len(calls) == 1
 
     # resume: all partitions complete -> zero stage invocations
     res2 = run_stage_checkpointed(
         spark, docs, stage, run_id="r1", stage="len", key_col="url",
         n_partitions=4, output_path=out1, metrics_path=met,
     )
-    assert len(calls) == first_calls
+    assert len(calls) == 1
     assert res2.count() == 100
 
-    # metrics lineage rows carry counts
+    # metrics lineage rows carry per-partition counts
     m = spark.read.parquet(met)
     assert m.filter("status = 'ok'").count() == 4
     assert m.agg(F.sum("rows_out")).collect()[0][0] == 100
+    assert m.agg(F.sum("rows_in")).collect()[0][0] == 100
 
 
 def test_checkpoint_kill_and_resume(spark, doc_ids, tmp_path):
     """North rule: 'any failed run resumes exactly' — a crash mid-run leaves
-    completed partitions marked; the rerun recomputes only the remainder
-    and the final output equals an uninterrupted run."""
+    committed batches marked; the rerun recomputes only the remainder and
+    the final output equals an uninterrupted run."""
     import pytest as _pytest
 
     from medacy_spark.plans.checkpoint import run_stage_checkpointed
@@ -63,26 +64,57 @@ def test_checkpoint_kill_and_resume(spark, doc_ids, tmp_path):
 
     def crashing_stage(df):
         state["calls"] += 1
-        if state["calls"] == 3:
+        if state["calls"] == 2:
             raise RuntimeError("simulated executor crash")
         return df.select("url", F.length("text").alias("n"))
 
     with _pytest.raises(RuntimeError):
         run_stage_checkpointed(
             spark, docs, crashing_stage, run_id="r2", stage="len", key_col="url",
-            n_partitions=4, output_path=out, metrics_path=met,
+            n_partitions=4, output_path=out, metrics_path=met, batch_size=2,
         )
-    # two partitions committed before the crash
+    # first batch (2 partitions) committed before the crash
     done = spark.read.parquet(met).filter("status='ok'").count()
     assert done == 2
 
     res = run_stage_checkpointed(
         spark, docs, crashing_stage, run_id="r2", stage="len", key_col="url",
-        n_partitions=4, output_path=out, metrics_path=met,
+        n_partitions=4, output_path=out, metrics_path=met, batch_size=2,
     )
     assert res.count() == 100  # exact: all rows, no duplicates
     assert res.select("url").distinct().count() == 100
-    assert state["calls"] == 5  # 2 before crash + the crash + 2 on resume
+    assert state["calls"] == 3  # batch 1 + the crash + the resumed batch
+
+
+def test_checkpoint_scan_count_is_partition_independent(spark, doc_ids, tmp_path):
+    """Scale gate (VERDICT r1 #1): a stage over N partitions must run a
+    CONSTANT number of Spark jobs — not O(N) source scans. Evidence: the
+    job count at n_partitions=8 equals the job count at n_partitions=32."""
+    from medacy_spark.plans.checkpoint import run_stage_checkpointed
+
+    docs = clinical_documents(doc_ids.filter("doc_id < 100")).select("doc_id", "url", "text")
+    sc = spark.sparkContext
+
+    def stage(df):
+        return df.select("url", F.length("text").alias("n"))
+
+    def jobs_for(n_parts, tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            run_stage_checkpointed(
+                spark, docs, stage, run_id=tag, stage="len", key_col="url",
+                n_partitions=n_parts,
+                output_path=str(tmp_path / f"out{tag}"),
+                metrics_path=str(tmp_path / f"met{tag}"),
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j8 = jobs_for(8, "ckpt8")
+    j32 = jobs_for(32, "ckpt32")
+    assert j8 > 0
+    assert j32 == j8  # O(1) jobs per stage, independent of partition count
 
 
 def test_salted_repartition_spreads_hot_host(spark, doc_ids):
