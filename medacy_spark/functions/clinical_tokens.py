@@ -1,0 +1,246 @@
+"""Reference clinical tokenizer rules (F4) as a pure-Python engine.
+
+The reference tokenizes with a spaCy 2.2.2 ``Tokenizer`` configured by
+``ClinicalTokenizer`` (clinical_tokenizer.py:34-59):
+
+  * prefixes  = spaCy shared defaults + ``^[\\[\\("'\\\\/@]``
+  * infixes   = spaCy shared defaults + ``\\[``, ``(?<=[0-9])-(?=[0-9])``,
+                ``[!&:,()\\*/-><]``
+  * suffixes  = REPLACED entirely by
+                ``[\\]\\)"',.x\\-%\\?\\\\n]|\\*|(mg$)|(mcg$)|(mL$)|(cap$)|(-+$)$``
+  * token_match = None, exceptions = spaCy English tokenizer_exceptions
+
+This module re-implements the spaCy 2.x tokenizer ALGORITHM
+(tokenizer.pyx: ``__call__`` whitespace scan → ``_split_affixes`` →
+``_attach_tokens``) and compiles the same rule sets, so real clinical
+text ("500mg", "10-20", "b.i.d.") splits the way the reference splits it.
+
+Two behaviors of the reference's regexes look like bugs but are REAL and
+replicated deliberately (same policy as the np.flip/boundary-repair
+replays elsewhere in this repo):
+
+  * the custom suffix class ``[\\]\\)"',.x\\-%\\?\\\\n]`` is UNANCHORED
+    (every other alternative carries ``$``). spaCy's ``find_suffix`` takes
+    ``match.end() - match.start()`` from a ``.search`` anywhere in the
+    string and strips that many chars from the END — so any token
+    containing ``n``, ``x``, ``.``, ``-`` … anywhere repeatedly loses its
+    last character ("aspirin" → "aspiri", "n").
+  * the custom infix class ``[!&:,()\\*/-><]`` contains ``/->`` which is a
+    character RANGE U+002F..U+003E — all digits plus ``:;<=>`` — so every
+    digit is an infix split point ("500" → "5", "0", "0").
+
+spaCy defaults are reconstructed from the public spaCy 2.2 source
+(spacy/lang/punctuation.py, char_classes.py), restricted to the
+ASCII/Latin-1 + common-typography subset that occurs in clinical text;
+the astral icon/CJK classes and the ~1,600-entry English
+tokenizer_exceptions table are not ported (``exceptions`` is accepted as
+a parameter with the same whole-string / after-prefix / after-suffix
+lookup semantics as spaCy's special cases).
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- spaCy 2.2 shared default pieces (ASCII/common-typography subset) ---
+
+_LIST_PUNCT = [
+    "…", "……", ",", ":", ";", r"\!", r"\?", "¿", "¡",
+    r"\(", r"\)", r"\[", r"\]", r"\{", r"\}", "<", ">", "_", "#", r"\*", "&",
+]
+_LIST_ELLIPSES = [r"\.\.+", "…"]
+_LIST_QUOTES = [
+    r"\'", '"', "”", "“", "`", "‘", "´", "’", "‚", ",", "„", "»", "«",
+]
+_LIST_CURRENCY = [r"\$", "£", "€", "¥", "฿"]
+_HYPHENS = "-|–|—|--|---|——|~"  # merge_chars order: "-" wins over "--" (spaCy's own leftmost-alternation behavior)
+_ALPHA = "A-Za-z"
+_ALPHA_LOWER = "a-z"
+_ALPHA_UPPER = "A-Z"
+
+_SPACY_PREFIXES = (
+    ["§", "%", "=", r"\+"]
+    + _LIST_PUNCT
+    + _LIST_ELLIPSES
+    + _LIST_QUOTES
+    + _LIST_CURRENCY
+)
+# clinical_tokenizer.py:40 — custom prefix appended to the defaults
+_CUSTOM_PREFIXES = [r"""^[\[\("'\\/@]"""]
+
+_SPACY_INFIXES = (
+    _LIST_ELLIPSES
+    + [
+        r"(?<=[0-9])[+\-\*^](?=[0-9-])",
+        rf"(?<=[{_ALPHA_LOWER}])\.(?=[{_ALPHA_UPPER}])",
+        rf"(?<=[{_ALPHA}]),(?=[{_ALPHA}])",
+        rf"(?<=[{_ALPHA}])(?:{_HYPHENS})(?=[{_ALPHA}])",
+        rf"(?<=[{_ALPHA}])[:<>=](?=[{_ALPHA}])",
+    ]
+)
+# clinical_tokenizer.py:48 — custom infixes appended, verbatim (incl. the
+# accidental /-> range; see module docstring)
+_CUSTOM_INFIXES = ['\\[', '(?<=[0-9])-(?=[0-9])', '[!&:,()\\*/-><]']
+
+# compile_prefix_regex semantics: every piece ^-anchored, |-joined
+PREFIX_RE = re.compile("|".join("^" + p for p in _SPACY_PREFIXES + _CUSTOM_PREFIXES))
+# compile_infix_regex semantics: plain |-join
+INFIX_RE = re.compile("|".join(_SPACY_INFIXES + _CUSTOM_INFIXES))
+# clinical_tokenizer.py:58 — the suffix regex REPLACES spaCy's defaults, verbatim
+SUFFIX_RE = re.compile(r'''[\]\)"',.x\-%\?\\n]|\*|(mg$)|(mcg$)|(mL$)|(cap$)|(-+$)$''')
+
+
+def _find_len(regex: re.Pattern, s: str) -> int:
+    """spaCy find_prefix/find_suffix: length of the first .search match."""
+    m = regex.search(s)
+    return (m.end() - m.start()) if m is not None else 0
+
+
+def _split_affixes(
+    chunk: str, exceptions: dict[str, list[str]]
+) -> tuple[list[tuple[int, int]], tuple[int, int], list[tuple[int, int]]]:
+    """tokenizer.pyx _split_affixes over chunk-relative spans.
+
+    Returns (prefix spans, middle span, suffix spans-in-strip-order).
+    The suffix length is measured anywhere in the string but stripped
+    from the END — reference behavior, see module docstring.
+    """
+    left, right = 0, len(chunk)
+    prefixes: list[tuple[int, int]] = []
+    suffixes: list[tuple[int, int]] = []
+    last_size = -1
+    while left < right and (right - left) != last_size:
+        sub = chunk[left:right]
+        if sub in exceptions:
+            break
+        last_size = len(sub)
+        pre_len = _find_len(PREFIX_RE, sub)
+        if pre_len:
+            minus_pre = sub[pre_len:]
+            if minus_pre and minus_pre in exceptions:
+                prefixes.append((left, left + pre_len))
+                left += pre_len
+                break
+        suf_len = _find_len(SUFFIX_RE, sub)
+        if suf_len:
+            minus_suf = sub[: len(sub) - suf_len]
+            if minus_suf and minus_suf in exceptions:
+                suffixes.append((right - suf_len, right))
+                right -= suf_len
+                break
+        if pre_len and suf_len and (pre_len + suf_len) <= len(sub):
+            prefixes.append((left, left + pre_len))
+            suffixes.append((right - suf_len, right))
+            left += pre_len
+            right -= suf_len
+        elif pre_len:
+            prefixes.append((left, left + pre_len))
+            left += pre_len
+        elif suf_len:
+            suffixes.append((right - suf_len, right))
+            right -= suf_len
+        else:
+            break
+    return prefixes, (left, right), suffixes
+
+
+def _attach_tokens(
+    chunk: str,
+    middle: tuple[int, int],
+    exceptions: dict[str, list[str]],
+    out: list[tuple[int, int]],
+) -> None:
+    """tokenizer.pyx _attach_tokens: expand exceptions, else infix-split.
+
+    A leading infix match (match.start() == 0) is skipped and absorbed
+    into the first span — spaCy's start_before_infixes check.
+    """
+    lo, hi = middle
+    if lo >= hi:
+        return
+    sub = chunk[lo:hi]
+    if sub in exceptions:
+        off = lo
+        for piece in exceptions[sub]:
+            out.append((off, off + len(piece)))
+            off += len(piece)
+        return
+    matches = list(INFIX_RE.finditer(sub))
+    if not matches:
+        out.append((lo, hi))
+        return
+    start = 0
+    for m in matches:
+        i0, i1 = m.start(), m.end()
+        if i0 == 0:
+            continue
+        if i0 != start:
+            out.append((lo + start, lo + i0))
+        if i0 != i1:
+            out.append((lo + i0, lo + i1))
+        start = i1
+    if start < len(sub):
+        out.append((lo + start, hi))
+
+
+def _tokenize_chunk(
+    text: str, lo: int, hi: int, exceptions: dict[str, list[str]],
+    out: list[tuple[int, int]],
+) -> None:
+    chunk = text[lo:hi]
+    if chunk in exceptions:
+        off = lo
+        for piece in exceptions[chunk]:
+            out.append((off, off + len(piece)))
+            off += len(piece)
+        return
+    prefixes, middle, suffixes = _split_affixes(chunk, exceptions)
+    spans: list[tuple[int, int]] = []
+    for s, e in prefixes:
+        spans.append((s, e))
+    mid_tokens: list[tuple[int, int]] = []
+    _attach_tokens(chunk, middle, exceptions, mid_tokens)
+    spans.extend(mid_tokens)
+    spans.extend(reversed(suffixes))
+    out.extend((lo + s, lo + e) for s, e in spans)
+
+
+def tokenize_with_offsets(
+    text: str, exceptions: dict[str, list[str]] | None = None
+) -> list[tuple[int, int, str]]:
+    """Full document → [(idx, end_idx, word)] with the reference rules.
+
+    Whitespace per spaCy Tokenizer.__call__: a single interior ' ' after a
+    token is attached whitespace (no token); every other whitespace run —
+    leading whitespace, newlines, runs of 2+ — becomes its own token.
+    Every returned span satisfies text[idx:end_idx] == word, spans are
+    ascending and non-overlapping, and every non-attached character is
+    covered (EntTuple offset convention: start inclusive, end exclusive).
+    """
+    exceptions = exceptions or {}
+    spans: list[tuple[int, int]] = []
+    n = len(text)
+    if n == 0:
+        return []
+    start = 0
+    in_ws = text[0].isspace()
+    for i, uc in enumerate(text):
+        if uc.isspace() != in_ws:
+            if start < i:
+                if in_ws:
+                    # whitespace span: no rule in this rule set splits
+                    # pure whitespace, so it is one token (as in spaCy)
+                    spans.append((start, i))
+                else:
+                    _tokenize_chunk(text, start, i, exceptions, spans)
+            if uc == " ":
+                start = i + 1
+            else:
+                start = i
+            in_ws = not in_ws
+    if start < n:
+        if in_ws:
+            spans.append((start, n))
+        else:
+            _tokenize_chunk(text, start, n, exceptions, spans)
+    return [(s, e, text[s:e]) for s, e in spans]

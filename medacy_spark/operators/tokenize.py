@@ -114,3 +114,49 @@ def sentences(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
             " ",
         ).alias("text"),
     )
+
+
+def tokenize_clinical(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    exceptions: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """X1/F4: the REFERENCE clinical tokenizer (clinical_tokenizer.py:34-59)
+    as an Arrow-batched mapInPandas stage — same output relation as
+    tokenize_native, but tokens follow the spaCy-2.2.2 prefix/infix/suffix
+    rule surface (see functions/clinical_tokens.py for the rules and the
+    two replicated reference bugs).
+
+    Sentence boundaries keep the W3 convention ('.' token closes a
+    sentence); whitespace tokens (newlines, runs of 2+ spaces) are emitted
+    like spaCy does, so gold char_span alignment sees the same boundary
+    set the reference sees.
+    """
+    from medacy_spark.functions.clinical_tokens import tokenize_with_offsets
+
+    schema = TOKEN_SCHEMA.replace("doc_id long", f"{id_col} long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "pos": [], "sent_id": [], "tok_id": [], "idx": [],
+                "end_idx": [], "word": [],
+            }
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                sent = 0
+                tok = 0
+                for pos, (s, e, w) in enumerate(tokenize_with_offsets(text, exceptions)):
+                    out[id_col].append(did)
+                    out["pos"].append(pos)
+                    out["sent_id"].append(sent)
+                    out["tok_id"].append(tok)
+                    out["idx"].append(s)
+                    out["end_idx"].append(e)
+                    out["word"].append(w)
+                    tok += 1
+                    if w == ".":
+                        sent += 1
+                        tok = 0
+            yield pd.DataFrame(out)
+
+    return documents.select(id_col, "text").mapInPandas(run, schema=schema)
