@@ -663,18 +663,28 @@ def q_events_running_sum(spark, sf):
 @q("exact_dup_groups", """
 WITH doubled AS (
   SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 1000000, text FROM documents)
-SELECT CAST(min(doc_id) AS BIGINT) AS rep, CAST(count(*) AS BIGINT) AS n
-FROM doubled GROUP BY text HAVING count(*) > 1 ORDER BY rep
+  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+g AS (
+  SELECT text, list_sort(list(doc_id)) AS ids, count(*) AS n
+  FROM doubled GROUP BY text HAVING count(*) > 1)
+SELECT CAST(ids[1] AS BIGINT) AS rep, CAST(ids[2] AS BIGINT) AS second,
+       CAST(n AS BIGINT) AS n
+FROM g ORDER BY rep
 """)
 def q_exact_dup_groups(spark, sf):
+    # exercises the capped-payload operator (max_ids): n stays the true
+    # count while the id list is bounded — the mega-group guard at scale
+    from medacy_spark.operators.dedup import exact_duplicates
+
     d = _docs(spark, sf).select("doc_id", "text")
     doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     return (
-        doubled.groupBy("text")
-        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .select("rep", "n")
+        exact_duplicates(doubled, max_ids=2)
+        .select(
+            F.element_at("doc_ids", 1).alias("rep"),
+            F.element_at("doc_ids", 2).alias("second"),
+            "n",
+        )
         .orderBy("rep")
     )
 
@@ -788,7 +798,23 @@ def q_text_hygiene(spark, sf):
     )
 
 
-@q("doc_fingerprints")  # xxhash64-based: rows-only check
+_FP_POWS = ", ".join(str(pow(31, e, 1000000007)) for e in range(16))
+
+
+@q("doc_fingerprints", f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS i
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1000000007)
+           * list_value({_FP_POWS})[CAST(i % 16 AS INT) + 1] % 1000000007 AS term
+  FROM w)
+SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS fingerprint
+FROM t GROUP BY doc_id ORDER BY doc_id
+""")
 def q_doc_fingerprints(spark, sf):
     from medacy_spark.operators.textstats import doc_fingerprint
     return _docs(spark, sf).select(
@@ -1146,11 +1172,26 @@ def q_vocab_index(spark, sf):
     return vocab_index(gold_df(spark, sf), "tag").orderBy("tag")
 
 
-# ---- W1/X1 tail: per-sentence FeatureTuples (map columns hash unstably
-# across engines → rows-only; exact values pytest-covered)
+# ---- W1/X1 tail: per-sentence FeatureTuples. The map columns themselves
+# hash unstably across engines, so the query projects per-sentence sizes;
+# those ARE oracle-checkable because every clinical template kind has a
+# fixed token count (all lexicon entries are single words):
+# kind 0 → 9 tokens, 1 → 12, 2 → 7, 3 → 13 (corpus/synth.py:77-106).
 
 
-@q("feature_tuples")
+@q("feature_tuples", """
+WITH sents AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS sent_id
+  FROM documents WHERE doc_id < 200),
+k AS (
+  SELECT doc_id, CAST(sent_id AS INT) AS sent_id,
+         ((doc_id * 131 + sent_id * 17) % 4) AS kind
+  FROM sents)
+SELECT doc_id, sent_id,
+       CAST(CASE kind WHEN 0 THEN 9 WHEN 1 THEN 12 WHEN 2 THEN 7 ELSE 13 END AS INT) AS n_tokens,
+       CAST(CASE kind WHEN 0 THEN 9 WHEN 1 THEN 12 WHEN 2 THEN 7 ELSE 13 END AS INT) AS n_spans
+FROM k ORDER BY doc_id, sent_id
+""")
 def q_feature_tuples(spark, sf):
     from medacy_spark.corpus.synth import clinical_documents
     from medacy_spark.operators.features import extract_feature_tuples
@@ -1166,11 +1207,42 @@ def q_feature_tuples(spark, sf):
     ).orderBy("doc_id", "sent_id")
 
 
-# ---- W6: line/word coordinate index (rows-only: newline injection is
-# Spark-side; the exact arithmetic is pytest-covered)
+# ---- W6: line/word coordinate index (newline injected after every 8th
+# word; the oracle replays the same regex injection + offset formula)
 
 
-@q("line_word_index")
+@q("line_word_index", r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_no
+  FROM d),
+ls AS (
+  SELECT doc_id, CAST(line_no AS INT) AS line_no, line,
+         coalesce(sum(length(line) + 1) OVER (
+             PARTITION BY doc_id ORDER BY line_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_start
+  FROM l),
+w AS (
+  SELECT doc_id, line_no, line_start,
+         unnest(string_split_regex(line, '\s+')) AS word,
+         unnest(generate_series(0, len(string_split_regex(line, '\s+')) - 1)) AS word_no
+  FROM ls),
+wf AS (SELECT * FROM w WHERE length(word) > 0),
+o AS (
+  SELECT doc_id, line_no, CAST(word_no AS INT) AS word_no, word,
+         CAST(line_start + coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY doc_id, line_no ORDER BY word_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS abs_start
+  FROM wf)
+SELECT doc_id, line_no, word_no, abs_start,
+       CAST(abs_start + length(word) AS BIGINT) AS abs_end, word
+FROM o ORDER BY doc_id, line_no, word_no
+""")
 def q_line_word_index(spark, sf):
     from medacy_spark.sources.converters import line_word_index
     d = _docs(spark, sf).select(
@@ -1180,10 +1252,14 @@ def q_line_word_index(spark, sf):
     return line_word_index(d).orderBy("doc_id", "line_no", "word_no")
 
 
-# ---- S9: con round-trip (rows-only; golden-value pytest covers parity)
+# ---- S9: con round-trip. mentions → con lines → parse → mentions is the
+# identity on the gold relation (texts are lowercase single tokens), so
+# the oracle is simply gold itself — an exact round-trip assertion.
 
 
-@q("con_roundtrip")
+@q("con_roundtrip", BASE_CTES + """
+SELECT doc_id, tag, start, "end", text FROM gold ORDER BY doc_id, start
+""")
 def q_con_roundtrip(spark, sf):
     from medacy_spark.sources.converters import con_to_mentions, mentions_to_con, parse_con
     d = _docs(spark, sf).select("doc_id", "text")
@@ -1191,6 +1267,51 @@ def q_con_roundtrip(spark, sf):
     con = mentions_to_con(m, d)
     back = con_to_mentions(parse_con(con.withColumnRenamed("line", "line")), d)
     return back.orderBy("doc_id", "start")
+
+
+# ---- S9 completion: ADE .rel → pseudo-BRAT lines (ade_to_brat.py:44-68);
+# rel-format lines derived from adjacent-token pairs, converted with the
+# byte-faithful operator; the oracle formats the same lines directly.
+
+
+@q("ade_lines", BASE_CTES + """
+, pairs AS (
+  SELECT doc_id, word, start, "end",
+         lead(word) OVER w AS nword,
+         CAST(lead(start) OVER w AS BIGINT) AS nstart,
+         CAST(lead("end") OVER w AS BIGINT) AS nend
+  FROM tokens
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY word IN ({kw}) AND lead(word) OVER w IS NOT NULL)
+SELECT doc_id, line FROM (
+  SELECT doc_id,
+         'T' || doc_id || ' AE ' || start || ' ' || "end" || chr(9) || word AS line
+  FROM pairs
+  UNION ALL
+  SELECT doc_id,
+         'T' || doc_id || ' DRUG ' || nstart || ' ' || nend || chr(9) || nword
+  FROM pairs)
+ORDER BY doc_id, line
+""".format(kw=_sql_list(KEYWORDS)))
+def q_ade_lines(spark, sf):
+    from medacy_spark.sources.converters import ade_to_brat_lines
+    t = tokens_df(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        t.withColumn("nword", F.lead("word").over(w))
+        .withColumn("nstart", F.lead("start").over(w))
+        .withColumn("nend", F.lead("end").over(w))
+        .filter(F.col("word").isin(KEYWORDS) & F.col("nword").isNotNull())
+    )
+    rel = pairs.select(
+        "doc_id",
+        F.lit("DRUG-AE.rel").alias("file_name"),
+        F.concat_ws(
+            "|", F.col("doc_id"), F.lit("s"), "word", "start", "end",
+            "nword", "nstart", "nend",
+        ).alias("line"),
+    )
+    return ade_to_brat_lines(rel).select("doc_id", "line").orderBy("doc_id", "line")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -68,9 +68,12 @@ def detect_language(text: Column) -> Column:
 def doc_fingerprint(text: Column) -> Column:
     """Order-sensitive polynomial rolling hash over words, mod 1e9+7.
 
-    fp = Σ_i  xxhash64(word_i)·B^(i mod 16)   (mod M)
-    — order-sensitive (unlike a bag hash), incremental-friendly, and cheap.
-    The capped exponent keeps the per-word multiplier table constant-folded.
+    fp = Σ_i  h(word_i)·B^(i mod 16)   (mod M),  h = first 8 hex chars of
+    md5, parsed base-16 — md5 exists in both Spark and DuckDB, so the
+    fingerprint is engine-portable and oracle-checkable (an xxhash64 base
+    would be Spark-only). Order-sensitive (unlike a bag hash),
+    incremental-friendly, and cheap; the capped exponent keeps the
+    per-word multiplier table constant-folded.
     """
     words = F.split(text, " ")
     powers = [pow(_FP_BASE, e, _FP_MOD) for e in range(16)]
@@ -80,7 +83,7 @@ def doc_fingerprint(text: Column) -> Column:
         words,
         idx,
         lambda w, i: F.pmod(
-            F.pmod(F.xxhash64(w), F.lit(_FP_MOD))
+            F.pmod(F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"), F.lit(_FP_MOD))
             * F.element_at(pow_arr, F.pmod(i, F.lit(16)).cast("int") + 1),
             F.lit(_FP_MOD),
         ),

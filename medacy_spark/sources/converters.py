@@ -165,3 +165,53 @@ def invalid_lines(lines: DataFrame, pattern: str) -> DataFrame:
     """The reference logs skipped-line counts (con_to_brat.py:32-34 stats);
     relationally that's just the anti filter."""
     return lines.filter(~F.col("line").rlike(pattern) & (F.length(F.trim("line")) > 0))
+
+
+def ade_to_brat_lines(
+    rel_lines: DataFrame, id_col: str = "doc_id", file_col: str = "file_name"
+) -> DataFrame:
+    """S9: ADE-corpus .rel → pseudo-BRAT T-lines (ade_to_brat.py:44-68).
+
+    Byte-faithful replication of the reference loop, quirks included:
+
+      * the file name ``TYPE1-TYPE2.rel`` supplies the entity labels,
+        applied SWAPPED — the first (text, start, end) triple gets TYPE2
+        and the second gets TYPE1 (ade_to_brat.py:63-64);
+      * the separator after the T id is a SPACE, not the BRAT tab, so the
+        emitted lines do NOT re-parse under brat_pattern
+        (annotations.py:22) — reference behavior, not a bug here;
+      * the T id is pipe-field 0 verbatim (the PubMed id, repeated across
+        lines of one file — duplicate T ids are emitted as in the
+        reference);
+      * fields are pipe positions 0, 2, 3, 4, 5, 6, 7 with trailing
+        whitespace stripped per item (``item.rstrip()``).
+
+    Input: (id, file_name, line). Output: (id, out_no, line) — out_no
+    orders the two emitted lines per input line when the input carries a
+    ``line_no`` column, else by emission pair index only.
+    """
+    base = F.regexp_replace(F.element_at(F.split(file_col, "/"), -1), r"\.[^.]*$", "")
+    types = F.split(base, "-")
+    p = F.transform(F.split("line", r"\|"), lambda x: F.regexp_replace(x, r"\s+$", ""))
+    line1 = F.concat(
+        F.lit("T"), F.element_at(p, 1), F.lit(" "), F.element_at(types, 2),
+        F.lit(" "), F.element_at(p, 4), F.lit(" "), F.element_at(p, 5),
+        F.lit("\t"), F.element_at(p, 3),
+    )
+    line2 = F.concat(
+        F.lit("T"), F.element_at(p, 1), F.lit(" "), F.element_at(types, 1),
+        F.lit(" "), F.element_at(p, 7), F.lit(" "), F.element_at(p, 8),
+        F.lit("\t"), F.element_at(p, 6),
+    )
+    order = (
+        (F.col("line_no") * 2 if "line_no" in rel_lines.columns else F.lit(0))
+    )
+    return rel_lines.select(
+        id_col,
+        F.posexplode(F.array(line1, line2)).alias("pair_idx", "out_line"),
+        order.alias("_base"),
+    ).select(
+        id_col,
+        (F.col("_base") + F.col("pair_idx")).cast("long").alias("out_no"),
+        F.col("out_line").alias("line"),
+    )
