@@ -32,12 +32,25 @@ from pyspark.sql import functions as F
 _MH_PRIME = 2147483647  # 2^31 - 1
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical texts: (fingerprint, n, doc_ids)."""
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int | None = None,
+) -> DataFrame:
+    """Groups of byte-identical texts: (fingerprint, n, doc_ids).
+
+    ``max_ids`` caps the per-group id list (smallest ids kept; ``n`` stays
+    the true count) — at web scale a pathological mega-group (e.g. the
+    empty page) would otherwise overflow a single row with collect_list.
+    """
+    ids = F.sort_array(F.collect_list(id_col))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         df.select(F.xxhash64(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
-        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .agg(F.count("*").alias("n"), ids.alias("doc_ids"))
         .filter(F.col("n") > 1)
     )
 
@@ -172,21 +185,46 @@ def simhash64_table(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 6,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit chunk of their simhash
-    (Hamming distance ≤ 3 guarantees ≥1 identical chunk of 4)."""
+    """Near-dup candidates: Manku-style block banding over the 64-bit
+    simhash (Detecting Near-Duplicates for Web Crawling, WWW'07).
+
+    The 64 bits split into ``n_blocks`` nearly-equal blocks; a pair within
+    Hamming distance ``max_hamming`` flips bits in at most that many
+    blocks, so at least one combination of (n_blocks - max_hamming) blocks
+    is identical on both sides — keys are all C(n_blocks, n_blocks-d)
+    such combinations. Defaults (6 blocks, d=3): 20 key families of ~32
+    exact-match bits each, i.e. ~2^32 buckets per family — bucket
+    occupancy keeps shrinking as the corpus grows, unlike the round-1
+    4×16-bit banding whose 65,536 buckets per chunk went quadratic past
+    ~10^9 docs. Cost: C(n,k) keys per doc instead of 4.
+    """
+    from itertools import combinations
+
     s = simhash64_table(df, text_col, id_col)
-    chunks = s.select(
-        "id", "sh",
-        F.posexplode(
-            F.array(*[F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
-        ).alias("chunk_no", "chunk"),
+    sizes = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+    block = [
+        F.shiftrightunsigned("sh", offsets[i]).bitwiseAND(F.lit((1 << sizes[i]) - 1))
+        for i in range(n_blocks)
+    ]
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    keys = [
+        F.xxhash64(F.concat_ws(",", *[block[i].cast("string") for i in combo]))
+        for combo in combos
+    ]
+    banded = s.select(
+        "id", "sh", F.posexplode(F.array(*keys)).alias("combo_no", "key")
     )
-    a = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk_no", "chunk")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk_no", "chunk")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "combo_no", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "combo_no", "key")
     pairs = (
-        a.join(b, ["chunk_no", "chunk"])
+        a.join(b, ["combo_no", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
@@ -256,6 +294,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -264,12 +303,17 @@ def embedding_near_dups(
     rescoring inside buckets. For the exact (oracle) variant set
     n_planes=0 → full O(n²) per-partition cross join; keep that for small
     n or verification only.
+
+    Pass ``dim`` (the embedding width) explicitly in pipelines — the
+    fallback probes it with a driver-side .first(), an extra job you don't
+    want mid-pipeline at scale.
     """
     from medacy_spark.operators.linking import cosine
     from medacy_spark.operators.similarity import rh_bucket
 
     if n_planes > 0:
-        dim = len(embeddings.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(embeddings.select(vec_col).first()[0])
         e = embeddings.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
             rh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
@@ -293,18 +337,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     explode distinct shingles → self-equi-join on shingle → |A∩B| per pair;
     |A∪B| = |A| + |B| - |A∩B|. The shingle join IS the candidate filter:
     disjoint docs never pair.
+
+    ``max_shingle_df`` is the web-scale guard: a shingle appearing in more
+    than that many documents ("of the and", boilerplate) pairs everything
+    containing it — its join contribution is df² rows. When set, such hot
+    shingles are dropped from the INTERSECTION join (set sizes still count
+    them, so the reported jaccard is a lower bound) and the number of
+    dropped shingles is logged — never a silent cap. Default None = exact.
     """
+    import logging
+
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        hot = dfreq.filter(F.col("df") > max_shingle_df)
+        n_hot = hot.count()
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: dropping %d shingles with df > %d from the "
+            "pair join (jaccard becomes a lower bound for affected pairs)",
+            n_hot, max_shingle_df,
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -84,23 +84,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
+    kmeans_iters: int = 1,
 ) -> DataFrame:
-    """IVF-flavored ANN: corpus vectors assign to their nearest centroid
-    cell; each query probes its n_probe nearest cells and rescores exactly
-    inside them.
+    """IVF ANN: corpus vectors assign to their nearest centroid cell; each
+    query probes its n_probe nearest cells and rescores exactly inside
+    them. Plan: one broadcast assign pass over the corpus, one equi-join
+    on cell id.
 
-    Centroids are deterministic: the corpus vectors with the n_cells
-    smallest ids (a k-means iteration would refine them with the same plan
-    shape — centroid table stays broadcast-size either way). Plan: one
-    broadcast assign pass over the corpus, one equi-join on cell id.
+    Centroids: deterministic seeds (the n_cells smallest-id corpus
+    vectors) refined by ``kmeans_iters`` Lloyd iterations — each iteration
+    is one broadcast assign pass + one element-wise mean aggregation
+    (posexplode → groupBy(cell, dim) avg, map-side combined), and the
+    n_cells×dim means collect to the driver to rebuild the broadcast
+    centroid table, which is centroid-sized by design. Same plan shape as
+    the unrefined variant; recall is test-gated ≥0.9 @10 vs brute force.
     """
-    cents = F.broadcast(
-        corpus.orderBy(id_col).limit(n_cells).select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
-        )
-    )
+    spark = corpus.sparkSession
 
-    def nearest_cells(df, key, vcol, n):
+    def nearest_cells(df, key, vcol, n, cents):
         scored = df.crossJoin(cents).withColumn(
             "_sim", cosine(F.col(vcol), F.col("c_vec"))
         )
@@ -113,13 +114,45 @@ def ivf_topk(
             .drop("c_vec", "_sim", "_rn")
         )
 
+    seed_rows = (
+        corpus.orderBy(id_col).limit(n_cells).select(F.col(vec_col)).collect()
+    )
+    cent_data = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seed_rows)]
+
+    def cents_df(data):
+        return F.broadcast(
+            spark.createDataFrame(data, "cell int, c_vec array<double>")
+        )
+
+    for _ in range(max(0, kmeans_iters)):
+        assigned = nearest_cells(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+            "vec_id", "v", 1, cents_df(cent_data),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("j", "x"))
+            .groupBy("cell", "j")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["j"]] = r["m"]
+        # empty cells keep their previous centroid
+        cent_data = [
+            (c, [by_cell[c][j] for j in sorted(by_cell[c])]) if c in by_cell else (c, v)
+            for c, v in cent_data
+        ]
+
+    cents = cents_df(cent_data)
+
     c_assigned = nearest_cells(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec2")),
-        "vec_id", "c_vec2", 1,
+        "vec_id", "c_vec2", 1, cents,
     )
     q_assigned = nearest_cells(
         queries.select(F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_id", "q_vec", n_probe,
+        "q_id", "q_vec", n_probe, cents,
     )
     scored = c_assigned.join(F.broadcast(q_assigned), "cell").select(
         "q_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec2")).alias("score")

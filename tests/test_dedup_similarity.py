@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from medacy_spark.operators.dedup import (
@@ -113,3 +114,74 @@ def test_topk_self_match_and_lsh_consistency(spark):
     assert mismatch.count() == 0
     # self-match always lands in its own bucket
     assert {r["q_id"] for r in ls.filter("q_id = vec_id").collect()} == {0, 1, 2, 3}
+
+
+def test_simhash_block_banding_guarantee(spark):
+    """Manku block banding: every pair within Hamming distance 3 MUST be a
+    candidate (pigeonhole over C(6,3) block-combination keys), verified
+    against brute-force Hamming over the signature table."""
+    from itertools import combinations
+
+    from medacy_spark.operators.dedup import simhash64_table
+
+    d = _corpus(spark)
+    sig = {r["id"]: r["sh"] for r in simhash64_table(d).collect()}
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+    truth = {
+        (a, b) for a, b in combinations(sorted(sig), 2) if ham(a, b) <= 3
+    }
+    cands = {(r["id_a"], r["id_b"]) for r in simhash_candidates(d).collect()}
+    assert truth <= cands
+    # reported hamming is exact
+    for r in simhash_candidates(d).collect():
+        assert r["hamming"] == ham(r["id_a"], r["id_b"])
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles from the pair join; sizes
+    still count them, so jaccard is a lower bound and disjoint-but-for-
+    boilerplate docs stop pairing."""
+    boiler = "of the and"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, f"{boiler} alpha beta gamma delta"),   # true dup of 1
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                ngram_jaccard_pairs(d, n=3, threshold=0.05).collect()}
+    assert (1, 2) in uncapped          # hot shingle pairs everything
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(d, n=3, threshold=0.05, max_shingle_df=2).collect()}
+    assert (1, 2) not in capped        # boilerplate-only pair gone
+    assert (1, 3) in capped            # true dup survives (lower-bound score)
+
+
+def test_exact_duplicates_payload_cap(spark):
+    from medacy_spark.operators.dedup import exact_duplicates
+
+    rows = [(i, "same text") for i in range(10)] + [(99, "unique")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    g = exact_duplicates(d, max_ids=3).collect()
+    assert len(g) == 1
+    assert g[0]["n"] == 10              # true count survives the cap
+    assert g[0]["doc_ids"] == [0, 1, 2]  # smallest ids kept
+
+
+def test_ivf_kmeans_recall_sf001(spark):
+    """VERDICT r1 #8 gate: one k-means refinement + 8-of-16 probes reaches
+    recall@10 ≥ 0.9 vs brute force on the sf0.01 embeddings (deterministic
+    — seeds, assignment and means are all arithmetic)."""
+    import os
+
+    from medacy_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 testdata unavailable")
+    emb = spark.read.parquet(path)
+    q = emb.filter("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    bf = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=10).collect()}
+    iv = {(r["q_id"], r["vec_id"]) for r in
+          ivf_topk(emb, q, n_cells=16, n_probe=8, k=10, kmeans_iters=1).collect()}
+    assert len(bf & iv) / len(bf) >= 0.9
