@@ -1269,6 +1269,20 @@ def q_con_roundtrip(spark, sf):
     return back.orderBy("doc_id", "start")
 
 
+# ---- F4: reference clinical tokenizer rule surface (rows-only: the
+# spaCy-2.2 affix/infix algorithm is not SQL-expressible; exact behavior
+# is pinned by the PMC fixture hashes in tests/test_tokenize.py)
+
+
+@q("clinical_rule_tokens")
+def q_clinical_rule_tokens(spark, sf):
+    from medacy_spark.operators.tokenize import tokenize_clinical
+    d = _docs(spark, sf).select("doc_id", "text").filter(F.col("doc_id") < 50)
+    return tokenize_clinical(d).select(
+        "doc_id", "pos", "idx", "end_idx", "word"
+    ).orderBy("doc_id", "pos")
+
+
 # ---- S9 completion: ADE .rel → pseudo-BRAT lines (ade_to_brat.py:44-68);
 # rel-format lines derived from adjacent-token pairs, converted with the
 # byte-faithful operator; the oracle formats the same lines directly.
