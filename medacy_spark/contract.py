@@ -717,18 +717,113 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(d, n=3, threshold=0.3).orderBy("id_a", "id_b")
 
 
-@q("minhash_lsh")  # engine-specific hashing: rows-only check
+# Both sketches run in base_hash='md5' mode here: identical topology and
+# arithmetic to the xxhash64 production default, but with a hash both
+# engines compute — so the driver hash-checks the ENTIRE sketch pipeline
+# (shingling, signature mins / bit votes, banding, candidate join).
+
+_MH_P = 2147483647
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"CAST(min((h * {2 * i + 1} + {1000003 * (i + 1)}) % {_MH_P}) AS BIGINT) AS m{i}"
+        for i in range(32)
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band, "
+        f"m{b * 4} || ',' || m{b * 4 + 1} || ',' || m{b * 4 + 2} || ',' || m{b * 4 + 3} AS bucket "
+        f"FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM d),
+sh AS (
+  SELECT doc_id,
+         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS shingle
+  FROM w
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER win IS NOT NULL),
+hs AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS h
+  FROM sh),
+sig AS (SELECT id, {mins} FROM hs GROUP BY id),
+bands AS (
+  {bands})
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@q("minhash_lsh", _minhash_sql())
 def q_minhash_lsh(spark, sf):
     from medacy_spark.operators.dedup import minhash_lsh_candidates
     d = _docs(spark, sf).filter(F.col("doc_id") < 150)
-    return minhash_lsh_candidates(d).orderBy("id_a", "id_b")
+    return minhash_lsh_candidates(d, base_hash="md5").orderBy("id_a", "id_b")
 
 
-@q("simhash_candidates")  # engine-specific hashing: rows-only check
+def _simhash_sql() -> str:
+    from itertools import combinations
+
+    bsum = ",\n         ".join(
+        f"sum(CAST((h >> {j}) & 1 AS BIGINT)) AS b{j}" for j in range(60)
+    )
+    shexpr = " + ".join(
+        f"(CASE WHEN b{j} * 2 > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    blocks = [f"CAST((sh >> {10 * i}) & 1023 AS VARCHAR)" for i in range(6)]
+    keyrows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {ci} AS combo, "
+        f"{blocks[c[0]]} || ',' || {blocks[c[1]]} || ',' || {blocks[c[2]]} AS key, sh "
+        f"FROM sig"
+        for ci, c in enumerate(combinations(range(6), 3))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM d),
+sh2 AS (
+  SELECT doc_id, word || ' ' || lead(word, 1) OVER win AS shingle
+  FROM w
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 1) OVER win IS NOT NULL),
+hs AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh2),
+votes AS (
+  SELECT id, count(*) AS n,
+         {bsum}
+  FROM hs GROUP BY id),
+sig AS (SELECT id, {shexpr} AS sh FROM votes),
+keys AS (
+  {keyrows}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM keys a JOIN keys b ON a.combo = b.combo AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs ORDER BY id_a, id_b
+"""
+
+
+@q("simhash_candidates", _simhash_sql())
 def q_simhash_candidates(spark, sf):
     from medacy_spark.operators.dedup import simhash_candidates
     d = _docs(spark, sf).filter(F.col("doc_id") < 150)
-    return simhash_candidates(d).orderBy("id_a", "id_b")
+    return simhash_candidates(d, base_hash="md5").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 # ---- similarity search

@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 _MH_PRIME = 2147483647  # 2^31 - 1
 
 
+def _base_hash(s: Column, base_hash: str) -> Column:
+    """Shingle base hash. 'xxhash64' (default) is the production hot path
+    — native, 64-bit, JVM-only. 'md5' derives a 60-bit integer from the
+    first 15 hex chars; both Spark and DuckDB compute it identically, so
+    the sketch becomes oracle-checkable end to end (same topology, same
+    arithmetic, portable hash)."""
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    if base_hash == "xxhash64":
+        return F.xxhash64(s)
+    raise ValueError(f"base_hash must be xxhash64|md5, got {base_hash!r}")
+
+
 def exact_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -92,6 +105,7 @@ def minhash_signature_table(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, m0..m{n-1}): minhash signature as flat columns.
 
@@ -105,7 +119,7 @@ def minhash_signature_table(
         F.explode(
             F.transform(
                 word_shingles(F.col(text_col), shingle_n),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+                lambda s: F.pmod(_base_hash(s, base_hash), F.lit(_MH_PRIME)),
             )
         ).alias("h"),
     )
@@ -126,19 +140,26 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
     rows_per_band = num_hashes / bands; two docs collide if any band of
     their signatures is identical. Output: (id_a, id_b, n_bands) with the
     number of colliding bands (a cheap similarity proxy).
+
+    base_hash='md5' makes the whole sketch engine-portable (see
+    _base_hash): band keys then stay as the raw signature concat string
+    instead of an xxhash64 of it, so DuckDB joins on identical keys —
+    same candidate topology, verifiable arithmetic.
     """
     rows = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    def _bucket(cols):
+        joined = F.concat_ws(",", *cols)
+        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
     band_buckets = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)])
-        ).alias(f"bb{b}")
+        _bucket([F.col(f"m{b * rows + r}") for r in range(rows)]).alias(f"bb{b}")
         for b in range(bands)
     ]
     banded = sig.select("id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket"))
@@ -152,33 +173,49 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_bits(base_hash: str) -> int:
+    """Signature width: 64 for the native hash, 60 for the md5-derived
+    portable hash (15 hex chars)."""
+    return 64 if base_hash == "xxhash64" else 60
+
+
 def simhash64_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sh): 64-bit SimHash per doc — bit j is 1 iff more than half the
-    shingle hashes have bit j set.
+    """(id, sh): SimHash per doc — bit j is 1 iff more than half the
+    shingle hashes have bit j set (64-bit native; 60-bit in md5 mode,
+    where every bit arithmetic stays in non-negative long range so DuckDB
+    reproduces it exactly).
 
     Shape chosen for codegen: explode shingle hashes, then ONE groupBy with
-    64 vectorized conditional sums (whole-stage codegen handles wide
+    one vectorized conditional sum per bit (whole-stage codegen handles wide
     aggregate lists well; a 64-way array `aggregate` expression does not).
     The explode+groupBy shuffle is per-doc local in practice (map-side
     partial aggregation collapses each doc's shingles before the exchange).
     """
+    n_bits = simhash_bits(base_hash)
     h = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n),
+                lambda s: _base_hash(s, base_hash),
+            )
         ).alias("h"),
     )
     aggs = [F.count("*").alias("n")]
-    for j in range(64):
+    for j in range(n_bits):
         mask = F.lit(1 << j) if j < 63 else F.lit(-(2**63))
         aggs.append(
             F.sum(F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0)).alias(f"b{j}")
         )
     votes = h.groupBy("id").agg(*aggs)
     sh = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(n_bits):
         bitval = F.lit(2**j).cast("long") if j < 63 else F.lit(-(2**63))
         sh = sh + F.when(F.col(f"b{j}") * 2 > F.col("n"), bitval).otherwise(F.lit(0).cast("long"))
     return votes.select("id", sh.alias("sh"))
@@ -190,6 +227,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 6,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates: Manku-style block banding over the 64-bit
     simhash (Detecting Near-Duplicates for Web Crawling, WWW'07).
@@ -206,18 +244,24 @@ def simhash_candidates(
     """
     from itertools import combinations
 
-    s = simhash64_table(df, text_col, id_col)
-    sizes = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    s = simhash64_table(df, text_col, id_col, base_hash=base_hash)
+    n_bits = simhash_bits(base_hash)
+    sizes = [
+        n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
     offsets = [sum(sizes[:i]) for i in range(n_blocks)]
     block = [
         F.shiftrightunsigned("sh", offsets[i]).bitwiseAND(F.lit((1 << sizes[i]) - 1))
         for i in range(n_blocks)
     ]
     combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
-    keys = [
-        F.xxhash64(F.concat_ws(",", *[block[i].cast("string") for i in combo]))
-        for combo in combos
-    ]
+
+    def _key(combo):
+        joined = F.concat_ws(",", *[block[i].cast("string") for i in combo])
+        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
+
+    keys = [_key(combo) for combo in combos]
     banded = s.select(
         "id", "sh", F.posexplode(F.array(*keys)).alias("combo_no", "key")
     )

@@ -223,3 +223,38 @@ def test_textstats_bounds(spark, doc_ids):
     )
     fps = [r["fingerprint"] for r in text_profile(two).collect()]
     assert fps[0] != fps[1]
+
+
+def test_checkpoint_prunable_partition_column(spark, doc_ids, tmp_path):
+    """With a real (Iceberg-style) partition column, the pruned batch read
+    reaches the scan as a partition filter — files of completed partitions
+    are never opened on resume."""
+    from medacy_spark.plans.checkpoint import run_stage_checkpointed
+
+    docs = clinical_documents(doc_ids.filter("doc_id < 100")).select(
+        "doc_id", "url", "text"
+    ).withColumn("part", (F.col("doc_id") % 4).cast("int"))
+    src = str(tmp_path / "src")
+    docs.write.partitionBy("part").parquet(src)
+    source = spark.read.parquet(src)
+
+    captured = {}
+
+    def stage(df):
+        captured["plan"] = df._jdf.queryExecution()  # resolved lazily below
+        return df.select("url", F.length("text").alias("n"))
+
+    res = run_stage_checkpointed(
+        spark, source, stage, run_id="rp", stage="len", key_col="url",
+        n_partitions=4, output_path=str(tmp_path / "out"),
+        metrics_path=str(tmp_path / "met"), partition_col="part",
+    )
+    assert res.count() == 100
+    import re
+
+    plan = captured["plan"].executedPlan().toString()
+    # the isin(todo) filter must hit the scan as a NON-EMPTY partition
+    # filter (e.g. `PartitionFilters: [part#12 IN (0,1,2,3)]`), not a
+    # post-scan Filter over all files
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "part" in m.group(1) and "IN" in m.group(1)
