@@ -855,7 +855,41 @@ def q_embedding_topk(spark, sf):
     ).orderBy("q_id", "rank")
 
 
-@q("embedding_topk_lsh")  # approximate + engine-specific buckets: rows-only
+def _lsh_topk_sql() -> str:
+    # The hyperplanes are deterministic arithmetic (similarity._hyperplane)
+    # embedded as literals in the Spark plan — embed the SAME literals in
+    # the oracle, so DuckDB reproduces the buckets, the candidate join, and
+    # the ranking (score drift would only matter at an exact 0 dot product
+    # or a float tie, neither of which the deterministic testdata hits).
+    from medacy_spark.operators.similarity import _hyperplane
+
+    def bucket(vcol: str) -> str:
+        terms = []
+        for p in range(8):
+            lit = "[" + ",".join(repr(v) for v in _hyperplane(64, p + 1)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, {bucket('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(list_cosine_similarity(q.q_vec, c.embedding) AS DOUBLE) AS score
+  FROM c JOIN q ON c.bucket = q.bucket),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
+@q("embedding_topk_lsh", _lsh_topk_sql())
 def q_embedding_topk_lsh(spark, sf):
     from medacy_spark.operators.similarity import lsh_bucketed_topk
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
