@@ -35,12 +35,17 @@ def connected_components(
     (alias clusters are near-cliques). Each iteration: one shuffle
     (groupBy node) + one broadcast-eligible join.
     """
-    und = (
+    # cut the input lineage BEFORE branching: the undirected union reads
+    # `edges` twice and every propagation iteration re-reads the edge set —
+    # without this an expensive upstream (e.g. minhash candidate generation
+    # over 100k docs) is recomputed once per branch per iteration
+    # (measured: 25 s → ~1 s for CC over a 502-edge candidate graph)
+    e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
+        .localCheckpoint()
     )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     # initial label = min(self, neighbors)
     labels = (
         und.groupBy("a").agg(F.min("b").alias("nbr_min"))
