@@ -74,9 +74,19 @@ def main(argv: list[str] | None = None) -> None:
         metrics_path=f"{args.output}/metrics",
     )
 
-    triples = extract_triples(mentions)
-    triples.write.mode("overwrite").parquet(f"{args.output}/triples")
-    triples = spark.read.parquet(f"{args.output}/triples")
+    # second checkpointed stage: mentions -> triples. The mentions sink is
+    # partitioned by partition_id, so partition_col makes the resume read
+    # partition-pruned (completed partitions' files are never opened);
+    # re-derivation for the output uses the same doc_id bucketing.
+    triples = run_stage_checkpointed(
+        spark, mentions,
+        lambda df: extract_triples(df.drop("partition_id")),
+        run_id=args.run_id, stage="triples", key_col="doc_id",
+        n_partitions=args.partitions,
+        output_path=f"{args.output}/triples",
+        metrics_path=f"{args.output}/metrics",
+        partition_col="partition_id",
+    )
 
     links = link_mentions(mentions, cui_dictionary(spark))
     nodes, edges = materialize_nodes_edges(links, triples)
