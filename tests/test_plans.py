@@ -145,3 +145,27 @@ def test_measures_strict_no_python(spark):
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_sketch_plans_no_cross_product_and_partial_agg(spark):
+    """Scale claims encoded as plan gates: the dedup sketches must (a) never
+    plan a cartesian product — candidate generation is equi-join only —
+    and (b) combine signatures map-side (partial aggregation) so the
+    shuffle carries one row per doc, not one per shingle."""
+    from medacy_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_candidates,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    p_mh = minhash_lsh_candidates(d)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p_mh
+    assert "partial_min" in p_mh  # map-side combine of the signature mins
+    p_sh = simhash_candidates(d)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p_sh
+    assert "partial_" in p_sh     # map-side combine of the bit votes
+    p_ja = ngram_jaccard_pairs(d)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p_ja

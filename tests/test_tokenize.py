@@ -149,3 +149,31 @@ def test_clinical_tokenize_overlay_real_corpus(spark):
     out = gold_overlay(toks, gold)
     labeled = out.filter(F.col("gold_label") != "O").count()
     assert labeled > 400
+
+
+def test_clinical_rules_property_invariants():
+    """Hypothesis sweep: for ANY text, every emitted span slices back to
+    its word, spans are ascending/non-overlapping, and dropped characters
+    are exactly the single interior/leading-rule spaces."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medacy_spark.functions.clinical_tokens import tokenize_with_offsets
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=0x2FF), max_size=80))
+    def run(text):
+        toks = tokenize_with_offsets(text)
+        prev = 0
+        for s, e, w in toks:
+            assert text[s:e] == w
+            assert s >= prev and e > s
+            prev = e
+        covered = set()
+        for s, e, _ in toks:
+            covered.update(range(s, e))
+        for i, ch in enumerate(text):
+            if i not in covered:
+                assert ch == " "  # only attached single spaces are dropped
+
+    run()
