@@ -32,10 +32,11 @@ replays elsewhere in this repo):
 spaCy defaults are reconstructed from the public spaCy 2.2 source
 (spacy/lang/punctuation.py, char_classes.py), restricted to the
 ASCII/Latin-1 + common-typography subset that occurs in clinical text;
-the astral icon/CJK classes and the ~1,600-entry English
-tokenizer_exceptions table are not ported (``exceptions`` is accepted as
-a parameter with the same whole-string / after-prefix / after-suffix
-lookup semantics as spaCy's special cases).
+the astral icon/CJK classes are not ported. Of the English
+tokenizer_exceptions table, the identity-abbreviation subset is ported
+(ENGLISH_ABBREV_EXCEPTIONS, the default); contraction expansions and
+emoticons are not — pass your own dict for those (``exceptions`` keeps
+spaCy's whole-string / after-prefix / after-suffix lookup semantics).
 """
 
 from __future__ import annotations
@@ -81,6 +82,23 @@ _SPACY_INFIXES = (
 # clinical_tokenizer.py:48 — custom infixes appended, verbatim (incl. the
 # accidental /-> range; see module docstring)
 _CUSTOM_INFIXES = ['\\[', '(?<=[0-9])-(?=[0-9])', '[!&:,()\\*/-><]']
+
+# spaCy English tokenizer_exceptions, the identity-abbreviation subset
+# (spacy/lang/en/tokenizer_exceptions.py, public): chunks the tokenizer
+# must keep whole instead of affix-stripping. The reference loads the full
+# English table; the parts NOT ported here are the contraction expansions
+# ("don't" → do + n't) and emoticons — rare in clinical prose and easy to
+# pass via the `exceptions` parameter if needed.
+ENGLISH_ABBREV_EXCEPTIONS: dict[str, list[str]] = {
+    orth: [orth]
+    for orth in [
+        "a.m.", "Adm.", "Bros.", "co.", "Co.", "Corp.", "D.C.", "Dr.",
+        "e.g.", "E.g.", "E.G.", "Gen.", "Gov.", "i.e.", "I.e.", "I.E.",
+        "Inc.", "Jr.", "Ltd.", "Md.", "Messrs.", "Mo.", "Mont.", "Mr.",
+        "Mrs.", "Ms.", "p.m.", "Ph.D.", "Prof.", "Rep.", "Rev.", "Sen.",
+        "St.", "vs.", "v.s.",
+    ]
+}
 
 # compile_prefix_regex semantics: every piece ^-anchored, |-joined
 PREFIX_RE = re.compile("|".join("^" + p for p in _SPACY_PREFIXES + _CUSTOM_PREFIXES))
@@ -216,8 +234,12 @@ def tokenize_with_offsets(
     Every returned span satisfies text[idx:end_idx] == word, spans are
     ascending and non-overlapping, and every non-attached character is
     covered (EntTuple offset convention: start inclusive, end exclusive).
+
+    ``exceptions`` defaults to ENGLISH_ABBREV_EXCEPTIONS (the reference
+    loads spaCy's English special cases); pass {} to disable.
     """
-    exceptions = exceptions or {}
+    if exceptions is None:
+        exceptions = ENGLISH_ABBREV_EXCEPTIONS
     spans: list[tuple[int, int]] = []
     n = len(text)
     if n == 0:

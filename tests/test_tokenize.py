@@ -53,9 +53,9 @@ REF_DS1 = "/root/reference/medacy/tests/sample_data/sample_dataset_1"
 # (spaCy-2.2.2 algorithm + clinical_tokenizer.py:34-59 regexes, including
 # the unanchored-suffix and /->-range behaviors; see clinical_tokens.py).
 _PMC_PINS = {
-    "PMC1257590": (2971, "3779d3e32c7d39cc"),
-    "PMC1314908": (5692, "c10a452c6b028bff"),
-    "PMC1392236": (3999, "71b51c5ad98d81ab"),
+    "PMC1257590": (2966, "49c610d2bf858988"),
+    "PMC1314908": (5684, "368c31d945ce29c6"),
+    "PMC1392236": (3990, "911243f716fe414b"),
 }
 
 
@@ -85,7 +85,10 @@ def test_clinical_rules_unit_cases():
     # (surrounding words still shred per the unanchored-suffix behavior)
     toks = tokenize_with_offsets("give b.i.d. now", exceptions={"b.i.d.": ["b.i.d."]})
     assert "b.i.d." in [w for _, _, w in toks]
-    assert words("b.i.d.") == ["b", ".", "i", ".", "d", "."]  # without the exception
+    assert words("b.i.d.") == ["b", ".", "i", ".", "d", "."]  # not an exception
+    # the default English abbreviation exceptions (spaCy identity subset)
+    assert "St." in words("in St. Louis")
+    assert "e.g." in words("(e.g. this)")  # found after prefix strip
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_DS1), reason="reference fixtures unavailable")
