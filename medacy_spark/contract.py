@@ -1196,12 +1196,43 @@ def q_embedding_near_dups(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
-@q("embedding_topk_ivf")  # approximate: rows-only
+@q("embedding_topk_ivf", """
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS c_vec FROM embeddings ORDER BY vec_id LIMIT 16),
+c_cell AS (
+  SELECT e.vec_id, e.embedding, s.cell FROM embeddings e CROSS JOIN seeds s
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding, s.c_vec) DESC, s.cell ASC) = 1),
+q_cell AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS q_vec, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, s.c_vec) DESC, s.cell ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 5) WHERE rn <= 4),
+scored AS (
+  SELECT DISTINCT q.q_id, c.vec_id,
+         CAST(list_cosine_similarity(q.q_vec, c.embedding) AS DOUBLE) AS score
+  FROM c_cell c JOIN q_cell q ON c.cell = q.cell),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+""")
 def q_embedding_topk_ivf(spark, sf):
+    # kmeans_iters=0: seed centroids are fixed ROWS, so every float op is
+    # row-local (no cross-row mean whose summation order differs between
+    # engines) and the oracle replays assignment/probing exactly. The
+    # k-means refinement path is gate-tested separately (recall@10 ≥ 0.9,
+    # tests/test_dedup_similarity.py).
     from medacy_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    return ivf_topk(emb, qs, n_cells=16, n_probe=4, k=10).select(
+    return ivf_topk(emb, qs, n_cells=16, n_probe=4, k=10, kmeans_iters=0).select(
         "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
     ).orderBy("q_id", "rank")
 
