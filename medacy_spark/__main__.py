@@ -1,0 +1,93 @@
+"""CLI mirroring the reference's main user journey (medacy/__main__.py:21-99):
+
+  python -m medacy_spark train    -d DATASET_DIR -f model.pkl
+  python -m medacy_spark predict  -d DATASET_DIR -m model.pkl -o OUT_DIR
+  python -m medacy_spark validate -d DATASET_DIR [-k FOLDS]
+
+DATASET_DIR is a BRAT directory — paired .txt/.ann files, the reference's
+Dataset layout (dataset.py:82-128); doc ids are file basenames. `predict`
+writes one .ann per input .txt (the reference's predictions/ output,
+model.py:260-270) — a driver-side convenience sink for directory-scale
+corpora; the at-scale sink is sources.corpus.write_mentions (parquet,
+bucket-by-doc in production). `validate` prints the reference's per-label
+cross-validation table (avg/min/max P, R, F1 — model.py:429-441).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _dataset(spark, d: str):
+    from pyspark.sql import functions as F
+
+    from medacy_spark.operators.annotations import from_ann_lines
+    from medacy_spark.sources.corpus import read_text_dir
+
+    docs = read_text_dir(spark, d, "*.txt").select(
+        F.col("file_name").alias("doc_id"), "text"
+    )
+    ann = spark.read.text(f"{d}/*.ann").select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.[a-z]+$", 1).alias("doc_id"),
+        F.col("value").alias("line"),
+    )
+    return docs, from_ann_lines(ann)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="medacy_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "predict", "validate"):
+        sp = sub.add_parser(name)
+        sp.add_argument("-d", "--dataset", required=True, help="BRAT directory")
+        sp.add_argument("--cores", type=int, default=None)
+    sub.choices["train"].add_argument("-f", "--filename", required=True,
+                                      help="model artifact output (.pkl)")
+    sub.choices["predict"].add_argument("-m", "--model", required=True)
+    sub.choices["predict"].add_argument("-o", "--output", required=True)
+    sub.choices["validate"].add_argument("-k", "--folds", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from medacy_spark.model import Model
+    from medacy_spark.session import get_spark
+
+    spark = get_spark(app_name=f"medacy_spark_{args.cmd}", cores=args.cores)
+    try:
+        if args.cmd == "train":
+            docs, gold = _dataset(spark, args.dataset)
+            Model(spark).fit(docs, gold).save(args.filename)
+            print(f"model written to {args.filename}")
+        elif args.cmd == "predict":
+            from medacy_spark.operators.annotations import to_ann_lines
+
+            docs, _ = _dataset(spark, args.dataset)
+            mentions = Model.load(spark, args.model).predict(docs)
+            lines = to_ann_lines(mentions).orderBy("doc_id", "line").collect()
+            os.makedirs(args.output, exist_ok=True)
+            by_doc: dict[str, list[str]] = {}
+            for r in lines:
+                by_doc.setdefault(r["doc_id"], []).append(r["line"])
+            for doc, ls in by_doc.items():
+                with open(os.path.join(args.output, f"{doc}.ann"), "w") as f:
+                    f.write("\n".join(ls) + "\n")
+            print(f"{len(by_doc)} .ann files written to {args.output}")
+        else:  # validate
+            docs, gold = _dataset(spark, args.dataset)
+            rows = Model(spark).cross_validate(docs, gold, args.folds).collect()
+            cols = ("label", "avg_precision", "avg_recall", "avg_f1",
+                    "min_f1", "max_f1")
+            print(",".join(cols))
+            for r in rows:
+                print(",".join(
+                    f"{r[c]:.4f}" if isinstance(r[c], float) else str(r[c])
+                    for c in cols
+                ))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,27 @@ class Model:
         self._bc = self.spark.sparkContext.broadcast(self.learner)
         return self
 
+    # ------------------------------------------------------------ artifacts
+
+    def save(self, path: str) -> None:
+        """S7: model artifact dump — plain pickle of the learner
+        (model.py:216-230 dump/load surface)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.learner, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Model":
+        """S7: artifact load + broadcast to executors."""
+        import pickle
+
+        with open(path, "rb") as f:
+            learner = pickle.load(f)
+        m = cls(spark, learner)
+        m._bc = spark.sparkContext.broadcast(learner)
+        return m
+
     # -------------------------------------------------------------- predict
 
     def predict(self, documents: DataFrame) -> DataFrame:

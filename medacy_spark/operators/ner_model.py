@@ -73,7 +73,10 @@ def score_sentences(
         ).alias("toks")
     )
 
-    out_schema = f"{id_col} long, sent_id int, tok_id int, idx long, end_idx long, word string, label string"
+    # id passes through untouched — derive its field type from the input
+    # so string ids (e.g. BRAT file names) work like numeric ones
+    id_type = tokens.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sent_id int, tok_id int, idx long, end_idx long, word string, label string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model: LabelFn = model_broadcast.value

@@ -52,3 +52,50 @@ def test_cross_validate(spark, doc_ids):
 
     with pytest.raises(ValueError):
         Model(spark).cross_validate(docs, gold, num_folds=1)
+
+
+def test_reference_dataset_train_predict_validate(spark, tmp_path):
+    """The reference's main user journey (medacy -d DIR train/predict/
+    validate) on the reference's OWN dataset: fit on the BRAT dir, save +
+    load the artifact, predict parseable .ann output, cross-validate a
+    per-label table. String doc ids (file basenames) flow end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from medacy_spark.__main__ import _dataset
+    from medacy_spark.model import Model
+    from medacy_spark.operators.annotations import from_ann_lines, to_ann_lines
+
+    ds = "/root/reference/medacy/tests/sample_data/sample_dataset_1"
+    if not os.path.isdir(ds):
+        import pytest as _pytest
+
+        _pytest.skip("reference fixtures unavailable")
+    docs, gold = _dataset(spark, ds)
+    assert docs.count() == 3 and gold.count() > 400
+
+    m = Model(spark).fit(docs, gold)
+    path = str(tmp_path / "model.pkl")
+    m.save(path)
+    m2 = Model.load(spark, path)
+    pred = m2.predict(docs)
+    assert pred.count() > 100
+    # predictions serialize to parseable BRAT and round-trip; mentions
+    # whose text is empty (PMC double-space artifacts tokenize to empty
+    # words) are dropped by brat_pattern's `.+` on re-parse — the
+    # reference's own writer/parser pair loses them identically
+    lines = to_ann_lines(pred)
+    back = from_ann_lines(lines)
+    assert back.count() == pred.filter(F.col("text") != "").count()
+    # tags come from training, plus the learner's built-in number+unit
+    # adjacency rules which always emit Dose/Duration
+    gold_tags = {r["tag"] for r in gold.select("tag").distinct().collect()}
+    pred_tags = {r["tag"] for r in pred.select("tag").distinct().collect()}
+    assert pred_tags <= gold_tags | {"Dose", "Duration"}
+
+    cv = Model(spark).cross_validate(docs, gold, num_folds=2).collect()
+    labels = {r["label"] for r in cv}
+    assert "Species" in labels
+    for r in cv:
+        assert 0.0 <= r["avg_f1"] <= 1.0
