@@ -33,10 +33,25 @@ spaCy defaults are reconstructed from the public spaCy 2.2 source
 (spacy/lang/punctuation.py, char_classes.py), restricted to the
 ASCII/Latin-1 + common-typography subset that occurs in clinical text;
 the astral icon/CJK classes are not ported. Of the English
-tokenizer_exceptions table, the identity-abbreviation subset is ported
-(ENGLISH_ABBREV_EXCEPTIONS, the default); contraction expansions and
-emoticons are not — pass your own dict for those (``exceptions`` keeps
-spaCy's whole-string / after-prefix / after-suffix lookup semantics).
+tokenizer_exceptions table, two subsets are ported and active by default
+(DEFAULT_EXCEPTIONS): the identity abbreviations
+(ENGLISH_ABBREV_EXCEPTIONS) and the contraction expansions
+(ENGLISH_CONTRACTION_EXCEPTIONS — "don't" → ["do", "n't"] etc., built
+programmatically the way spacy/lang/en/tokenizer_exceptions.py builds
+them, including the apostrophe-less forms and the real-word exclusion
+list). Emoticons and the long rare-word tail are not ported — pass your
+own dict for those (``exceptions`` keeps spaCy's whole-string /
+after-prefix / after-suffix lookup semantics).
+
+Sentence segmentation: the reference's sentence boundaries come from
+spaCy's dependency parser (base_pipeline.py:95-99), which cannot run
+here. ``sentence_starts`` implements spaCy's rule-based Sentencizer
+(spacy/pipeline/pipes.pyx, public) as the documented approximation: token
+0 starts a sentence; after a sentence-final punct token ('!', '.', '?' —
+the spaCy 2.2 Sentencizer defaults), the next NON-punct token starts a
+new sentence (so runs of closing punctuation stay attached to the
+sentence they end). Whitespace tokens count as tokens, exactly as they
+do in a spaCy Doc.
 """
 
 from __future__ import annotations
@@ -85,10 +100,7 @@ _CUSTOM_INFIXES = ['\\[', '(?<=[0-9])-(?=[0-9])', '[!&:,()\\*/-><]']
 
 # spaCy English tokenizer_exceptions, the identity-abbreviation subset
 # (spacy/lang/en/tokenizer_exceptions.py, public): chunks the tokenizer
-# must keep whole instead of affix-stripping. The reference loads the full
-# English table; the parts NOT ported here are the contraction expansions
-# ("don't" → do + n't) and emoticons — rare in clinical prose and easy to
-# pass via the `exceptions` parameter if needed.
+# must keep whole instead of affix-stripping.
 ENGLISH_ABBREV_EXCEPTIONS: dict[str, list[str]] = {
     orth: [orth]
     for orth in [
@@ -99,6 +111,129 @@ ENGLISH_ABBREV_EXCEPTIONS: dict[str, list[str]] = {
         "St.", "vs.", "v.s.",
     ]
 }
+
+
+def _build_contractions() -> dict[str, list[str]]:
+    """The contraction-expansion subset of spaCy's English
+    tokenizer_exceptions table, built programmatically the way the public
+    spacy/lang/en/tokenizer_exceptions.py builds it: every key's pieces
+    concatenate back to the key (the ORTH invariant _attach_tokens relies
+    on). Includes the apostrophe-less forms the real table defines ("dont"
+    → ["do","nt"], "id" → ["i","d"] — yes, "id" really splits in spaCy)
+    minus its real-word exclusion list."""
+    exc: dict[str, list[str]] = {}
+
+    def add(key: str, pieces: list[str]) -> None:
+        assert "".join(pieces) == key
+        exc[key] = pieces
+
+    pron_m = ["i"]
+    pron_lldve = ["i", "you", "he", "she", "it", "we", "they"]
+    pron_ve = ["i", "you", "we", "they"]
+    pron_re = ["you", "we", "they"]
+    pron_s = ["he", "she", "it"]
+
+    def forms(p: str) -> list[str]:
+        return [p, p.title()]
+
+    for p in pron_m:
+        for o in forms(p):
+            add(o + "'m", [o, "'m"])
+            add(o + "m", [o, "m"])
+            add(o + "'ma", [o, "'m", "a"])
+            add(o + "ma", [o, "m", "a"])
+    for p in pron_lldve:
+        for o in forms(p):
+            add(o + "'ll", [o, "'ll"])
+            add(o + "ll", [o, "ll"])
+            add(o + "'ll've", [o, "'ll", "'ve"])
+            add(o + "llve", [o, "ll", "ve"])
+            add(o + "'d", [o, "'d"])
+            add(o + "d", [o, "d"])
+            add(o + "'d've", [o, "'d", "'ve"])
+            add(o + "dve", [o, "d", "ve"])
+    for p in pron_ve:
+        for o in forms(p):
+            add(o + "'ve", [o, "'ve"])
+            add(o + "ve", [o, "ve"])
+    for p in pron_re:
+        for o in forms(p):
+            add(o + "'re", [o, "'re"])
+            add(o + "re", [o, "re"])
+    for p in pron_s:
+        for o in forms(p):
+            add(o + "'s", [o, "'s"])
+            add(o + "s", [o, "s"])
+    # W-words: possessive/copular clitics (who's, what'll, where'd, …)
+    for w in ["who", "what", "when", "where", "why", "how", "there", "that"]:
+        for o in forms(w):
+            add(o + "'s", [o, "'s"])
+            add(o + "s", [o, "s"])
+            add(o + "'ll", [o, "'ll"])
+            add(o + "ll", [o, "ll"])
+            add(o + "'re", [o, "'re"])
+            add(o + "re", [o, "re"])
+            add(o + "'d", [o, "'d"])
+            add(o + "d", [o, "d"])
+            add(o + "'ve", [o, "'ve"])
+            add(o + "ve", [o, "ve"])
+    # verb + n't
+    for v in ["ca", "could", "do", "does", "did", "had", "has", "have",
+              "is", "are", "was", "were", "might", "must", "need", "ought",
+              "sha", "should", "wo", "would", "ai", "dare"]:
+        for o in forms(v):
+            add(o + "n't", [o, "n't"])
+            add(o + "nt", [o, "nt"])
+            add(o + "n't've", [o, "n't", "'ve"])
+            add(o + "ntve", [o, "nt", "ve"])
+    # one-offs from the public table
+    add("cannot", ["can", "not"])
+    add("Cannot", ["Can", "not"])
+    add("let's", ["let", "'s"])
+    add("Let's", ["Let", "'s"])
+    add("gonna", ["gon", "na"])
+    add("Gonna", ["Gon", "na"])
+    add("gotta", ["got", "ta"])
+    add("Gotta", ["Got", "ta"])
+    # spaCy's real-word exclusion list: these stay ordinary tokens
+    for w in ["Ill", "ill", "Its", "its", "Hell", "hell", "Shell", "shell",
+              "Shed", "shed", "Were", "were", "Well", "well",
+              "Whore", "whore"]:
+        exc.pop(w, None)
+    return exc
+
+
+ENGLISH_CONTRACTION_EXCEPTIONS: dict[str, list[str]] = _build_contractions()
+
+# The default the reference effectively runs with (it loads spaCy's full
+# English table): abbreviations + contractions.
+DEFAULT_EXCEPTIONS: dict[str, list[str]] = {
+    **ENGLISH_ABBREV_EXCEPTIONS,
+    **ENGLISH_CONTRACTION_EXCEPTIONS,
+}
+
+# spaCy 2.2 Sentencizer default punct_chars (pipes.pyx)
+SENT_PUNCT_CHARS = frozenset({"!", ".", "?"})
+
+
+def sentence_starts(words: list[str]) -> list[bool]:
+    """spaCy Sentencizer semantics over a token word sequence: token 0
+    starts a sentence; after a punct token, the next non-punct token starts
+    one (consecutive sentence-final puncts stay in the closing sentence)."""
+    out = [False] * len(words)
+    if not words:
+        return out
+    out[0] = True
+    seen = False
+    for i, w in enumerate(words):
+        is_p = w in SENT_PUNCT_CHARS
+        if seen and not is_p:
+            if i > 0:
+                out[i] = True
+            seen = False
+        elif is_p:
+            seen = True
+    return out
 
 # compile_prefix_regex semantics: every piece ^-anchored, |-joined
 PREFIX_RE = re.compile("|".join("^" + p for p in _SPACY_PREFIXES + _CUSTOM_PREFIXES))
@@ -235,11 +370,12 @@ def tokenize_with_offsets(
     ascending and non-overlapping, and every non-attached character is
     covered (EntTuple offset convention: start inclusive, end exclusive).
 
-    ``exceptions`` defaults to ENGLISH_ABBREV_EXCEPTIONS (the reference
-    loads spaCy's English special cases); pass {} to disable.
+    ``exceptions`` defaults to DEFAULT_EXCEPTIONS (abbreviations +
+    contraction expansions — the reference loads spaCy's full English
+    special-case table); pass {} to disable.
     """
     if exceptions is None:
-        exceptions = ENGLISH_ABBREV_EXCEPTIONS
+        exceptions = DEFAULT_EXCEPTIONS
     spans: list[tuple[int, int]] = []
     n = len(text)
     if n == 0:

@@ -127,12 +127,20 @@ def tokenize_clinical(
     rule surface (see functions/clinical_tokens.py for the rules and the
     two replicated reference bugs).
 
-    Sentence boundaries keep the W3 convention ('.' token closes a
-    sentence); whitespace tokens (newlines, runs of 2+ spaces) are emitted
-    like spaCy does, so gold char_span alignment sees the same boundary
-    set the reference sees.
+    Sentence boundaries follow spaCy's rule-based Sentencizer
+    (functions/clinical_tokens.sentence_starts): the reference's boundaries
+    come from spaCy's dependency parser (base_pipeline.py:95-99), which is
+    unavailable here, and the Sentencizer is spaCy's own documented
+    rule-based substitute — '!'/'.'/'?' close a sentence at the next
+    non-punct token, so "end.." keeps both dots in the closing sentence.
+    Whitespace tokens (newlines, runs of 2+ spaces) are emitted like spaCy
+    does, so gold char_span alignment sees the same boundary set the
+    reference sees.
     """
-    from medacy_spark.functions.clinical_tokens import tokenize_with_offsets
+    from medacy_spark.functions.clinical_tokens import (
+        sentence_starts,
+        tokenize_with_offsets,
+    )
 
     schema = TOKEN_SCHEMA.replace("doc_id long", f"{id_col} long")
 
@@ -143,9 +151,14 @@ def tokenize_clinical(
                 "end_idx": [], "word": [],
             }
             for did, text in zip(pdf[id_col], pdf["text"]):
-                sent = 0
+                toks = tokenize_with_offsets(text, exceptions)
+                starts = sentence_starts([w for _, _, w in toks])
+                sent = -1
                 tok = 0
-                for pos, (s, e, w) in enumerate(tokenize_with_offsets(text, exceptions)):
+                for pos, (s, e, w) in enumerate(toks):
+                    if starts[pos]:
+                        sent += 1
+                        tok = 0
                     out[id_col].append(did)
                     out["pos"].append(pos)
                     out["sent_id"].append(sent)
@@ -154,9 +167,6 @@ def tokenize_clinical(
                     out["end_idx"].append(e)
                     out["word"].append(w)
                     tok += 1
-                    if w == ".":
-                        sent += 1
-                        tok = 0
             yield pd.DataFrame(out)
 
     return documents.select(id_col, "text").mapInPandas(run, schema=schema)

@@ -48,14 +48,18 @@ def test_sentence_ids_monotone(spark, doc_ids):
 
 REF_DS1 = "/root/reference/medacy/tests/sample_data/sample_dataset_1"
 
-# sha256 over "idx:end_idx:word" lines of tokenize_with_offsets on the
-# reference's own PMC .txt fixtures — pins the full clinical-rule surface
-# (spaCy-2.2.2 algorithm + clinical_tokenizer.py:34-59 regexes, including
-# the unanchored-suffix and /->-range behaviors; see clinical_tokens.py).
+# IMPLEMENTATION PINS (not independently generated reference output —
+# spaCy cannot be installed in this sandbox, so these are sha256 pins of
+# THIS implementation's tokenize_with_offsets over the reference's own PMC
+# .txt fixtures; the rules themselves are ported verbatim from
+# clinical_tokenizer.py:34-59 and unit-verified against hand-derived regex
+# behavior, including the unanchored-suffix and /->-range reference bugs).
+# Format: name -> (n_tokens, span-relation sha256[:16], n_sentences under
+# the Sentencizer rule). Re-derive deliberately on any rule change.
 _PMC_PINS = {
-    "PMC1257590": (2966, "49c610d2bf858988"),
-    "PMC1314908": (5684, "368c31d945ce29c6"),
-    "PMC1392236": (3990, "911243f716fe414b"),
+    "PMC1257590": (2966, "49c610d2bf858988", 59),
+    "PMC1314908": (5684, "368c31d945ce29c6", 130),
+    "PMC1392236": (3990, "911243f716fe414b", 105),
 }
 
 
@@ -92,15 +96,20 @@ def test_clinical_rules_unit_cases():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_DS1), reason="reference fixtures unavailable")
-def test_clinical_rules_pmc_fixture_parity():
-    """Byte-parity pin on the reference's own corpus: token count + span
-    relation hash for each PMC file, plus the offset invariants
-    (text[idx:end_idx]==word, ascending non-overlapping spans)."""
+def test_clinical_rules_pmc_fixture_pins():
+    """Implementation pin on the reference's own corpus: token count, span
+    relation hash, and Sentencizer sentence count for each PMC file, plus
+    the offset invariants (text[idx:end_idx]==word, ascending
+    non-overlapping spans). These pins are self-derived (see _PMC_PINS) —
+    they guard against regressions, not against spaCy itself."""
     import hashlib
 
-    from medacy_spark.functions.clinical_tokens import tokenize_with_offsets
+    from medacy_spark.functions.clinical_tokens import (
+        sentence_starts,
+        tokenize_with_offsets,
+    )
 
-    for name, (n_expected, pin) in _PMC_PINS.items():
+    for name, (n_expected, pin, n_sents) in _PMC_PINS.items():
         text = open(f"{REF_DS1}/{name}.txt", encoding="utf-8").read()
         toks = tokenize_with_offsets(text)
         assert all(text[s:e] == w for s, e, w in toks)
@@ -113,6 +122,59 @@ def test_clinical_rules_pmc_fixture_parity():
             "\n".join(f"{s}:{e}:{w}" for s, e, w in toks).encode()
         ).hexdigest()[:16]
         assert h == pin, f"{name}: {h} != {pin}"
+        assert sum(sentence_starts([w for _, _, w in toks])) == n_sents
+
+
+def test_contraction_exceptions():
+    """spaCy English contraction expansions (tokenizer_exceptions.py,
+    public): pieces concatenate to the surface form; the real-word
+    exclusion list stays unexpanded."""
+    from medacy_spark.functions.clinical_tokens import (
+        ENGLISH_CONTRACTION_EXCEPTIONS,
+        tokenize_with_offsets,
+    )
+
+    def words(t):
+        toks = tokenize_with_offsets(t)
+        assert all(t[s:e] == w for s, e, w in toks)
+        return [w for _, _, w in toks]
+
+    assert words("don't") == ["do", "n't"]
+    assert words("can't") == ["ca", "n't"]
+    assert words("won't") == ["wo", "n't"]
+    assert words("I'm") == ["I", "'m"]
+    assert words("it's") == ["it", "'s"]
+    assert words("they're") == ["they", "'re"]
+    assert words("we've") == ["we", "'ve"]
+    assert words("she'll") == ["she", "'ll"]
+    assert words("cannot") == ["can", "not"]
+    assert words("let's") == ["let", "'s"]
+    assert words("what's") == ["what", "'s"]
+    assert words("dont") == ["do", "nt"]    # apostrophe-less form
+    assert words("id") == ["i", "d"]        # yes, real spaCy does this
+    # exclusion list: real words never expand
+    for w in ("well", "its", "hell", "shed", "were", "ill"):
+        assert all(len(p) <= len(w) for p in words(w))
+        assert words(w)[0] not in ("we", "it", "he", "she", "i") or len(words(w)) == 1
+    # ORTH invariant over the whole table
+    for k, pieces in ENGLISH_CONTRACTION_EXCEPTIONS.items():
+        assert "".join(pieces) == k
+
+
+def test_sentencizer_rule():
+    """spaCy Sentencizer semantics: boundary at the first non-punct token
+    after '!'/'.'/'?'; consecutive closing puncts stay attached."""
+    from medacy_spark.functions.clinical_tokens import sentence_starts
+
+    assert sentence_starts(["a", ".", "b"]) == [True, False, True]
+    assert sentence_starts(["a", ".", ".", "b"]) == [True, False, False, True]
+    assert sentence_starts(["a", "!", "b", "?", "c"]) == [
+        True, False, True, False, True]
+    assert sentence_starts(["a", ",", "b"]) == [True, False, False]
+    assert sentence_starts([".", "a"]) == [True, True]
+    assert sentence_starts([]) == []
+    # whitespace tokens count as tokens, like a spaCy Doc
+    assert sentence_starts(["a", ".", "\n\n", "b"]) == [True, False, True, False]
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_DS1), reason="reference fixtures unavailable")
