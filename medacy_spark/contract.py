@@ -1071,7 +1071,7 @@ def q_clinical_triples(spark, sf):
     )
 
 
-@q("clinical_mention_counts", f"""
+_CLIN_MENTION_COUNTS_SQL = """
 WITH sents AS (
   SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS sent_id FROM documents),
 feat AS (SELECT doc_id, sent_id, (doc_id * 131 + sent_id * 17) % 4 AS kind FROM sents)
@@ -1085,7 +1085,10 @@ SELECT t.tag, CAST(count(*) AS BIGINT) AS cnt FROM (
   UNION ALL SELECT doc_id, 'Duration' FROM feat WHERE kind = 1
   UNION ALL SELECT doc_id, 'ADE' FROM feat WHERE kind = 2) t
 GROUP BY t.tag ORDER BY t.tag
-""")
+"""
+
+
+@q("clinical_mention_counts", _CLIN_MENTION_COUNTS_SQL)
 def q_clinical_mention_counts(spark, sf):
     from medacy_spark.corpus.synth import clinical_documents
     from medacy_spark.operators.mentions import detect_mentions, gazetteer_df
@@ -1499,6 +1502,436 @@ def q_ade_lines(spark, sf):
         ).alias("line"),
     )
     return ade_to_brat_lines(rel).select("doc_id", "line").orderBy("doc_id", "line")
+
+
+# =====================================================================
+# Round-3 additions: driver CORRECTNESS rows for the operators previously
+# covered only by pytest (VERDICT r2 "What's missing" #4). Each derives a
+# deterministic synthetic relation from `documents` with arithmetic both
+# engines compute identically, then runs the REAL operator on the Spark
+# side while the oracle recomputes the expected output directly.
+# =====================================================================
+
+
+# ---- S5: MetaMap JSON cache source. Synthesize MetaMap-shaped JSON from
+# gold mentions — every singleton level uses the DICT form (the xmltodict
+# single-element pathology, metamap.py:350-377), so normalize_metamap_json
+# must listify all 7 repeating nodes before the schema-first parse.
+
+
+_MM_PREFIX = (
+    '{"metamap":{"MMOs":{"MMO":{"Utterances":{"Utterance":{"Phrases":'
+    '{"Phrase":{"Mappings":{"Mapping":{"MappingCandidates":{"Candidate":'
+)
+_MM_SUFFIX = "}}}}}}}}}}}"
+
+
+@q("metamap_candidates", BASE_CTES + """
+, g AS (SELECT doc_id, start, "end", text,
+               (doc_id * 31 + start) % 97 AS k
+        FROM gold WHERE doc_id < 300)
+SELECT doc_id,
+       'C' || lpad(CAST(k AS VARCHAR), 4, '0') AS cui,
+       text AS matched,
+       CAST(900 + k AS BIGINT) AS score,
+       CASE WHEN k % 3 = 0 THEN 'T' || CAST(k % 5 AS VARCHAR)
+            ELSE 'T' || CAST(k % 5 AS VARCHAR) || ',T9' END AS sem,
+       start, "end"
+FROM g ORDER BY doc_id, start, cui
+""")
+def q_metamap_candidates(spark, sf):
+    from medacy_spark.sources.metamap_json import (
+        METAMAP_SCHEMA,
+        candidates,
+        normalize_metamap_json,
+    )
+
+    g = gold_df(spark, sf).filter(F.col("doc_id") < 300)
+    k = (F.col("doc_id") * 31 + F.col("start")) % 97
+    cui = F.concat(F.lit("C"), F.lpad(k.cast("string"), 4, "0"))
+    sem_json = F.when(
+        k % 3 == 0, F.concat(F.lit('"T'), (k % 5).cast("string"), F.lit('"'))
+    ).otherwise(F.concat(F.lit('["T'), (k % 5).cast("string"), F.lit('","T9"]')))
+    cand_json = F.format_string(
+        '{"CandidateCUI":"%s","CandidateMatched":"%s","CandidateScore":"%s",'
+        '"SemTypes":{"SemType":%s},'
+        '"ConceptPIs":{"ConceptPI":{"StartPos":"%s","Length":"%s"}}}',
+        cui, F.col("text"), (F.lit(900) + k).cast("string"), sem_json,
+        F.col("start").cast("string"), (F.col("end") - F.col("start")).cast("string"),
+    )
+    per_doc = g.select("doc_id", "start", cand_json.alias("cj")).groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("start", "cj"))), lambda x: x["cj"]
+        ).alias("cands")
+    )
+    raw = per_doc.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MM_PREFIX),
+            # single candidate -> bare dict (exercises the listify rule);
+            # several -> a real JSON array
+            F.when(F.size("cands") == 1, F.element_at("cands", 1)).otherwise(
+                F.concat(F.lit("["), F.array_join("cands", ","), F.lit("]"))
+            ),
+            F.lit(_MM_SUFFIX),
+        ).alias("raw"),
+    )
+    parsed = raw.select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.from_json(normalize_metamap_json("raw"), METAMAP_SCHEMA).alias("mm"),
+        F.lit(False).alias("corrupt"),
+    )
+    out = candidates(parsed)
+    return out.select(
+        F.col("doc_key").cast("long").alias("doc_id"),
+        "cui",
+        "matched",
+        "score",
+        F.array_join("sem_types", ",").alias("sem"),
+        "start",
+        "end",
+    ).orderBy("doc_id", "start", "cui")
+
+
+# ---- J9: CUI/semtype overlay onto tokens (metamap_component.py:94-136).
+# Candidates are phrase-shaped spans so each overlays 2 tokens; the
+# include_sem_types filter reproduces metamap.py:206-235.
+
+
+@q("cui_overlay", BASE_CTES + """
+, ph2 AS (SELECT doc_id, start, "end", (doc_id + start) % 97 AS k
+          FROM phrase WHERE doc_id < 300),
+cand AS (
+  SELECT doc_id, start, "end",
+         'C' || lpad(CAST(k AS VARCHAR), 4, '0') AS cui,
+         CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END AS nsem
+  FROM ph2
+  WHERE CASE WHEN k % 2 = 0 THEN TRUE ELSE (k % 4) IN (1, 2) END)
+SELECT t.doc_id, t.start AS idx, t."end" AS end_idx, t.word, c.cui,
+       CAST(1 + c.nsem AS INT) AS n_features
+FROM tokens t JOIN cand c
+  ON t.doc_id = c.doc_id AND t.start >= c.start AND t."end" <= c."end"
+ORDER BY t.doc_id, idx, cui
+""")
+def q_cui_overlay(spark, sf):
+    from medacy_spark.operators.linking import cui_overlay
+
+    ph = phrase_df(spark, sf).filter(F.col("doc_id") < 300)
+    k = (F.col("doc_id") + F.col("start")) % 97
+    cand = ph.select(
+        "doc_id", "start", "end",
+        F.concat(F.lit("C"), F.lpad(k.cast("string"), 4, "0")).alias("cui"),
+        F.when(
+            k % 2 == 0,
+            F.array(F.concat(F.lit("T"), (k % 4).cast("string")), F.lit("T9")),
+        ).otherwise(F.array(F.concat(F.lit("T"), (k % 4).cast("string")))).alias(
+            "sem_types"
+        ),
+    )
+    toks = tokens_df(spark, sf).select(
+        "doc_id",
+        F.lit(0).alias("sent_id"),
+        F.col("pos").cast("int").alias("tok_id"),
+        F.col("start").alias("idx"),
+        F.col("end").alias("end_idx"),
+        "word",
+    )
+    out = cui_overlay(toks, cand, include_sem_types=("T1", "T2", "T9"))
+    return out.select(
+        "doc_id", "idx", "end_idx", "word",
+        F.col("features")["feature_cui"].alias("cui"),
+        F.size("features").alias("n_features"),
+    ).orderBy("doc_id", "idx", "cui")
+
+
+# ---- P6: MetaMap-style semantic-type include/exclude predicate
+# (metamap.py:206-235) over a synthesized links relation.
+
+
+@q("semtype_filter", BASE_CTES + """
+, l AS (SELECT doc_id, tag, start, (doc_id * 7 + start) % 3 AS k3 FROM gold)
+SELECT doc_id, tag, start,
+       CASE k3 WHEN 0 THEN 'T1' WHEN 1 THEN 'T2,T9' ELSE 'T3' END AS sem
+FROM l WHERE k3 IN (0, 2)
+ORDER BY doc_id, start, tag
+""")
+def q_semtype_filter(spark, sf):
+    from medacy_spark.operators.linking import filter_semantic_types
+
+    g = gold_df(spark, sf)
+    k3 = (F.col("doc_id") * 7 + F.col("start")) % 3
+    links = g.select(
+        "doc_id", "tag", "start",
+        F.when(k3 == 0, F.array(F.lit("T1")))
+        .when(k3 == 1, F.array(F.lit("T2"), F.lit("T9")))
+        .otherwise(F.array(F.lit("T3"))).alias("sem_types"),
+    )
+    out = filter_semantic_types(links, include=("T1", "T2", "T3"), exclude=("T9",))
+    return out.select(
+        "doc_id", "tag", "start", F.array_join("sem_types", ",").alias("sem")
+    ).orderBy("doc_id", "start", "tag")
+
+
+# ---- U5: semantic-type discovery (distinct explode) over the same links.
+
+
+@q("sem_type_discovery", BASE_CTES + """
+, l AS (SELECT (doc_id * 7 + start) % 3 AS k3 FROM gold),
+e AS (SELECT unnest(CASE k3 WHEN 0 THEN ['T1'] WHEN 1 THEN ['T2','T9']
+                    ELSE ['T3'] END) AS sem_type FROM l)
+SELECT DISTINCT sem_type FROM e ORDER BY sem_type
+""")
+def q_sem_type_discovery(spark, sf):
+    from medacy_spark.operators.misc import discover_sem_types
+
+    g = gold_df(spark, sf)
+    k3 = (F.col("doc_id") * 7 + F.col("start")) % 3
+    links = g.select(
+        F.when(k3 == 0, F.array(F.lit("T1")))
+        .when(k3 == 1, F.array(F.lit("T2"), F.lit("T9")))
+        .otherwise(F.array(F.lit("T3"))).alias("sem_types"),
+    )
+    return discover_sem_types(links).orderBy("sem_type")
+
+
+# ---- F5: unicode→ASCII conversion + offset-map restore
+# (metamap.py:276-409). Inject one '½' after the first word; the ASCII
+# text gains 2 chars ('1/2'), and restore_offset must map every ASCII
+# token start back onto the original text. The oracle replays the closed
+# form: before the diff → identity; inside → snap to the diff start;
+# after → minus the length delta.
+
+
+@q("offset_restore", r"""
+WITH d AS (
+  SELECT doc_id, text,
+         length(string_split(text, ' ')[1]) AS p,
+         regexp_replace(text, '^(\S+) ', '\1½ ') AS orig
+  FROM documents
+  WHERE doc_id < 400 AND length(text) = strlen(text)),
+a AS (SELECT doc_id, p, replace(orig, '½', '1/2') AS ascii_text FROM d),
+t AS (
+  SELECT doc_id, p,
+         unnest(string_split(ascii_text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(ascii_text, ' ')))) AS pos
+  FROM a),
+s AS (
+  SELECT doc_id, p, CAST(pos AS INT) AS pos, word,
+         CAST(coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS ascii_start
+  FROM t)
+SELECT doc_id, pos, word, ascii_start,
+       CAST(CASE WHEN ascii_start < p THEN ascii_start
+                 WHEN ascii_start < p + 3 THEN p
+                 ELSE ascii_start - 2 END AS BIGINT) AS orig_start
+FROM s ORDER BY doc_id, pos
+""")
+def q_offset_restore(spark, sf):
+    from medacy_spark.functions.unicode import restore_offset, to_ascii_with_map
+
+    d = _docs(spark, sf).filter(
+        (F.col("doc_id") < 400) & (F.length("text") == F.octet_length("text"))
+    )
+    d = d.select(
+        "doc_id", F.regexp_replace("text", r"^(\S+) ", "$1½ ").alias("orig")
+    )
+    conv = d.select("doc_id", to_ascii_with_map(F.col("orig")).alias("c"))
+    t = conv.select(
+        "doc_id", F.col("c.diffs").alias("diffs"),
+        F.posexplode(F.split("c.ascii_text", " ")).alias("p0", "word"),
+    ).withColumn("pos", (F.col("p0") + 1).cast("int")).drop("p0")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    start = F.coalesce(
+        F.sum(F.length("word") + 1).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    t = t.withColumn("ascii_start", start)
+    return t.select(
+        "doc_id", "pos", "word", "ascii_start",
+        restore_offset(F.col("ascii_start"), F.col("diffs")).alias("orig_start"),
+    ).orderBy("doc_id", "pos")
+
+
+# ---- J2/U4: zip_datasets — paired + one-sided residues
+# (inter_dataset_agreement.py:109-130).
+
+
+@q("zip_datasets", """
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, 'both' AS side FROM a WHERE doc_id IN (SELECT doc_id FROM b)
+UNION ALL
+SELECT doc_id, 'only_a' FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)
+UNION ALL
+SELECT doc_id, 'only_b' FROM b WHERE doc_id NOT IN (SELECT doc_id FROM a)
+ORDER BY doc_id, side
+""")
+def q_zip_datasets(spark, sf):
+    from medacy_spark.operators.misc import zip_datasets
+
+    d = _docs(spark, sf).select("doc_id")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 3 == 0)
+    paired, only_a, only_b = zip_datasets(a, b)
+    return (
+        paired.select("doc_id", F.lit("both").alias("side"))
+        .unionByName(only_a.select("doc_id", F.lit("only_a").alias("side")))
+        .unionByName(only_b.select("doc_id", F.lit("only_b").alias("side")))
+        .orderBy("doc_id", "side")
+    )
+
+
+# ---- W4: resegment — token ids after merging matched spans
+# (unit_component.py:179-307). Merge spans are isolated keyword+successor
+# pairs (successor not itself a keyword), so spans never overlap; the
+# oracle replays the running boundary-flag sum.
+
+
+@q("resegment_ids", BASE_CTES + """
+, nb AS (
+  SELECT doc_id, pos,
+         lag(word) OVER w IN ({kw}) AND word NOT IN ({kw}) AS absorbed
+  FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+SELECT doc_id, pos,
+       CAST(sum(CASE WHEN coalesce(absorbed, FALSE) THEN 0 ELSE 1 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+         AS new_tok_id
+FROM nb ORDER BY doc_id, pos
+""".format(kw=_sql_list(KEYWORDS)))
+def q_resegment_ids(spark, sf):
+    from medacy_spark.operators.sequence import resegment
+
+    t = tokens_df(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nb = (
+        t.withColumn("nxt", F.lead("word").over(w))
+        .withColumn("nend", F.lead("end").over(w))
+    )
+    spans = nb.filter(
+        F.col("word").isin(KEYWORDS)
+        & F.col("nxt").isNotNull()
+        & ~F.col("nxt").isin(KEYWORDS)
+    ).select("doc_id", "start", F.col("nend").alias("end"))
+    out = resegment(
+        t.select("doc_id", "pos", "start", "end", "word"),
+        spans,
+        part_cols=["doc_id"],
+        order_col="pos",
+    )
+    return out.select("doc_id", "pos", "new_tok_id").orderBy("doc_id", "pos")
+
+
+# ---- U6: MultiModel annotation merge (multi_model.py:90-98).
+
+
+@q("multi_model_merge", BASE_CTES + f"""
+SELECT DISTINCT {_KEYCOLS} FROM (
+  SELECT {_KEYCOLS} FROM gold
+  UNION ALL SELECT {_KEYCOLS} FROM pred
+  UNION ALL SELECT {_KEYCOLS} FROM phrase)
+""")
+def q_multi_model_merge(spark, sf):
+    from medacy_spark.operators.features import multi_model_merge
+
+    return multi_model_merge(
+        [gold_df(spark, sf), pred_df(spark, sf), phrase_df(spark, sf)]
+    )
+
+
+# ---- F3: table-row heuristic (table_matcher_component.py:31-40). Docs
+# are rebuilt as 3-line texts where line 2 is a table row (label + 4
+# spaces + number) except when doc_id%3=0 (only 2 spaces → no match).
+
+
+@q("table_rows", """
+SELECT doc_id, CAST(2 AS INT) AS line_no,
+       string_split(text, ' ')[1] || '    ' || CAST(n_chars AS VARCHAR) AS line,
+       string_split(text, ' ')[1] AS row_label
+FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id
+""")
+def q_table_rows(spark, sf):
+    from medacy_spark.operators.misc import table_rows
+
+    d = _docs(spark, sf)
+    first = F.element_at(F.split("text", " "), 1)
+    sep = F.when(F.col("doc_id") % 3 == 0, F.lit("  ")).otherwise(F.lit("    "))
+    txt = F.concat(
+        F.lit("hdr "), F.col("doc_id").cast("string"), F.lit("\n"),
+        first, sep, F.col("n_chars").cast("string"), F.lit("\ntail row"),
+    )
+    return table_rows(d.select("doc_id", txt.alias("text"))).orderBy("doc_id")
+
+
+# ---- F17: fixed-vocabulary one-hot (nn/vectorizer.py:175-189).
+
+
+@q("one_hot_tags", BASE_CTES + """
+SELECT doc_id, start, tag,
+       {cols}
+FROM gold ORDER BY doc_id, start
+""".format(cols=",\n       ".join(
+    f"CAST(CASE WHEN tag = '{k}' THEN 1 ELSE 0 END AS INT) AS h{i}"
+    for i, k in enumerate(KEYWORDS)
+)))
+def q_one_hot_tags(spark, sf):
+    from medacy_spark.operators.misc import one_hot
+
+    g = gold_df(spark, sf)
+    oh = one_hot(F.col("tag"), KEYWORDS)
+    return g.select(
+        "doc_id", "start", "tag",
+        *[F.element_at(oh, i + 1).cast("int").alias(f"h{i}") for i in range(len(KEYWORDS))],
+    ).orderBy("doc_id", "start")
+
+
+# ---- F18: spaCy-attribute analogues as pure column expressions
+# (prefix_/suffix_/shape_/like_num/is_punct/lower_).
+
+
+@q("spacy_token_features", BASE_CTES + r"""
+SELECT doc_id, pos, word,
+       substr(word, 1, 1) AS prefix_,
+       CASE WHEN length(word) <= 3 THEN word ELSE right(word, 3) END AS suffix_,
+       regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+           word, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'd', 'g'),
+         'x{4,}', 'xxxx', 'g'), 'X{4,}', 'XXXX', 'g'), 'd{4,}', 'dddd', 'g')
+         AS shape_,
+       CAST(regexp_matches(word, '^[0-9]+(\.[0-9]+)?$') AS VARCHAR) AS like_num,
+       CAST(regexp_matches(word, '^[^\w\s]+$') AS VARCHAR) AS is_punct,
+       lower(word) AS lower_
+FROM tokens WHERE doc_id < 100 ORDER BY doc_id, pos
+""")
+def q_spacy_token_features(spark, sf):
+    from medacy_spark.operators.features import with_spacy_features
+
+    t = tokens_df(spark, sf).filter(F.col("doc_id") < 100)
+    return with_spacy_features(t).select(
+        "doc_id", "pos", "word",
+        "prefix_", "suffix_", "shape_", "like_num", "is_punct", "lower_",
+    ).orderBy("doc_id", "pos")
+
+
+# ---- X2: the broadcast-model Arrow scoring stage (score_sentences →
+# island merge → mentions). RuleModel reproduces the gazetteer/unit rule
+# stack, so the mention multiset equals detect_mentions' — verified by the
+# same arithmetic oracle as clinical_mention_counts.
+
+
+@q("model_mention_counts", _CLIN_MENTION_COUNTS_SQL)
+def q_model_mention_counts(spark, sf):
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.operators.ner_model import RuleModel, model_mentions
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    ids = _clin_ids(spark, sf)
+    toks = tokenize_native(clinical_documents(ids).select("doc_id", "text"))
+    bc = spark.sparkContext.broadcast(RuleModel())
+    m = model_mentions(toks, bc)
+    return m.groupBy("tag").agg(F.count("*").alias("cnt")).orderBy("tag")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
