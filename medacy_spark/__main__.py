@@ -7,10 +7,12 @@
 DATASET_DIR is a BRAT directory — paired .txt/.ann files, the reference's
 Dataset layout (dataset.py:82-128); doc ids are file basenames. `predict`
 writes one .ann per input .txt (the reference's predictions/ output,
-model.py:260-270) — a driver-side convenience sink for directory-scale
-corpora; the at-scale sink is sources.corpus.write_mentions (parquet,
-bucket-by-doc in production). `validate` prints the reference's per-label
-cross-validation table (avg/min/max P, R, F1 — model.py:429-441).
+model.py:260-270) through sources.corpus.write_brat_dir — a partitioned
+executor-side sink (no driver collect), lines in the reference writer's
+(start, end) span order; the at-scale sink remains
+sources.corpus.write_mentions (parquet, bucket-by-doc in production).
+`validate` prints the reference's per-label cross-validation table
+(avg/min/max P, R, F1 — model.py:429-441).
 """
 
 from __future__ import annotations
@@ -60,19 +62,13 @@ def main(argv: list[str] | None = None) -> int:
             Model(spark).fit(docs, gold).save(args.filename)
             print(f"model written to {args.filename}")
         elif args.cmd == "predict":
-            from medacy_spark.operators.annotations import to_ann_lines
+            from medacy_spark.sources.corpus import write_brat_dir
 
             docs, _ = _dataset(spark, args.dataset)
             mentions = Model.load(spark, args.model).predict(docs)
-            lines = to_ann_lines(mentions).orderBy("doc_id", "line").collect()
-            os.makedirs(args.output, exist_ok=True)
-            by_doc: dict[str, list[str]] = {}
-            for r in lines:
-                by_doc.setdefault(r["doc_id"], []).append(r["line"])
-            for doc, ls in by_doc.items():
-                with open(os.path.join(args.output, f"{doc}.ann"), "w") as f:
-                    f.write("\n".join(ls) + "\n")
-            print(f"{len(by_doc)} .ann files written to {args.output}")
+            write_brat_dir(mentions, args.output)
+            n = len([f for f in os.listdir(args.output) if f.endswith(".ann")])
+            print(f"{n} .ann files written to {args.output}")
         else:  # validate
             docs, gold = _dataset(spark, args.dataset)
             rows = Model(spark).cross_validate(docs, gold, args.folds).collect()

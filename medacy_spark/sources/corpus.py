@@ -42,3 +42,47 @@ def write_mentions(mentions: DataFrame, path: str, mode: str = "overwrite") -> N
     """S4: prediction sink — the mentions table partitioned for downstream
     co-located joins (bucket-by-doc in production Iceberg)."""
     mentions.write.mode(mode).parquet(path)
+
+
+def write_brat_dir(mentions: DataFrame, out_dir: str, id_col: str = "doc_id") -> None:
+    """S4: reference-shaped directory sink (one OUT/<doc>.ann per doc,
+    model.py:260-270) WITHOUT a driver collect: hash-repartition on the
+    doc key so every doc's lines land in one partition, sort within
+    partitions by (doc, T-number) — T ids are assigned in the reference
+    writer's (start, end) span order by to_ann_lines, so files are
+    byte-compatible with a reference-written .ann — and stream files out
+    of the executors with foreachPartition.
+
+    Local/shared-filesystem sink: on a cluster without a shared mount the
+    at-scale sink remains write_mentions (parquet, bucket-by-doc); this is
+    the directory-layout convenience the reference CLI journey expects.
+    """
+    import os
+
+    from medacy_spark.operators.annotations import to_ann_lines
+
+    os.makedirs(out_dir, exist_ok=True)
+    lines = to_ann_lines(mentions, id_col)
+    t_num = F.regexp_extract("line", r"^T(\d+)\t", 1).cast("int")
+    arranged = lines.repartition(F.col(id_col)).sortWithinPartitions(
+        F.col(id_col), t_num
+    )
+
+    def write_partition(rows) -> None:
+        cur: str | None = None
+        buf: list[str] = []
+
+        def flush() -> None:
+            if cur is not None:
+                with open(os.path.join(out_dir, f"{cur}.ann"), "w") as f:
+                    f.write("\n".join(buf) + "\n")
+
+        for r in rows:
+            key = str(r[id_col])
+            if key != cur:
+                flush()
+                cur, buf = key, []
+            buf.append(r["line"])
+        flush()
+
+    arranged.foreachPartition(write_partition)

@@ -99,3 +99,53 @@ def test_reference_dataset_train_predict_validate(spark, tmp_path):
     assert "Species" in labels
     for r in cv:
         assert 0.0 <= r["avg_f1"] <= 1.0
+
+
+def test_write_brat_dir_scale_safe(spark, tmp_path):
+    """The directory .ann sink (S4): executor-side partitioned write, no
+    driver collect; file content byte-equal to a reference-shaped writer
+    (lines in T-number = (start, end) span order, trailing newline)."""
+    import inspect
+    import os
+
+    from medacy_spark.operators.annotations import to_ann_lines
+    from medacy_spark.sources.corpus import write_brat_dir
+
+    mentions = spark.createDataFrame(
+        [
+            # deliberately >9 mentions in one doc so lexical line order
+            # (T1, T10, T2, ...) would differ from span order
+            *[("docA", "Drug", 10 * i, 10 * i + 4, f"m{i}") for i in range(12)],
+            ("docB", "Dose", 5, 9, "10 mg"),
+            ("docB", "Drug", 0, 4, "aspirin"),
+        ],
+        "doc_id string, tag string, start long, end long, text string",
+    )
+    out = str(tmp_path / "preds")
+    write_brat_dir(mentions, out)
+    files = sorted(os.listdir(out))
+    assert files == ["docA.ann", "docB.ann"]
+
+    # reference-shaped expectation: group driver-side from to_ann_lines,
+    # ordered by the T number the writer assigned (== span order)
+    rows = to_ann_lines(mentions).collect()
+    expected: dict[str, list[str]] = {}
+    for r in rows:
+        expected.setdefault(r["doc_id"], []).append(r["line"])
+    for doc, ls in expected.items():
+        ls.sort(key=lambda l: int(l[1 : l.index("\t")]))
+        got = open(os.path.join(out, f"{doc}.ann")).read()
+        assert got == "\n".join(ls) + "\n", doc
+    # span order inside the file: ascending T and ascending start
+    a_lines = open(os.path.join(out, "docA.ann")).read().splitlines()
+    t_nums = [int(l[1 : l.index("\t")]) for l in a_lines]
+    starts = [int(l.split("\t")[1].split(" ")[1]) for l in a_lines]
+    assert t_nums == sorted(t_nums) and starts == sorted(starts)
+
+    # no-collect gate: neither the sink nor the CLI predict branch may
+    # pull mention rows to the driver
+    src = inspect.getsource(write_brat_dir)
+    assert ".collect()" not in src and "toPandas" not in src
+    import medacy_spark.__main__ as cli
+
+    assert ".collect()" not in inspect.getsource(cli.main).split('else:  # validate')[0]
