@@ -1,0 +1,186 @@
+"""Learners behind the X2/X3 broadcast contract.
+
+The reference trains CRF/BiLSTM/BERT learners driver-side, one spaCy Doc
+at a time (model.py:88-152; bilstm_crf_learner.py, bert_learner.py —
+torch/sklearn_crfsuite are not in this container). This module provides a
+non-trivial numpy-only stand-in with the same two-sided contract as
+model.FrequencyLearner:
+
+  * fit        — driver-side over collected training sentences (the
+                 reference's own X3 shape: training is never distributed
+                 there), OR sharded parameter-mixing where each shard
+                 trains a local perceptron inside an Arrow batch and the
+                 driver averages the sparse weight dicts (McDonald et al.
+                 2010, "Distributed training strategies for the
+                 structured perceptron" — public).
+  * __call__   — (sentences: list[list[str]]) -> list[list[str]] label
+                 lists, broadcast to executors and scored in the Arrow
+                 batch stage (operators/ner_model.score_sentences).
+
+The model is an averaged structured perceptron (Collins 2002) with
+hashed sparse features (stable crc32 — never Python ``hash``, which is
+per-process salted) over a ±k word window plus the previous predicted
+label, greedy left-to-right decode. Weights live in a dict keyed
+(label, feature-hash): vocabulary-scale, pickles cleanly for broadcast.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections import defaultdict
+from collections.abc import Iterable, Sequence
+
+D = 1 << 20  # feature-hash space
+
+
+def _h(s: str) -> int:
+    return zlib.crc32(s.encode()) % D
+
+
+def token_features(words: Sequence[str], i: int, prev_label: str, k: int = 2) -> list[int]:
+    """Hashed feature ids for token i: surface/prefix/suffix/shape-lite of
+    the token, lowercased neighbors in ±k, and the previous label (the
+    'structured' part — decode is greedy left-to-right)."""
+    w = words[i]
+    lw = w.lower()
+    feats = [
+        _h("bias"),
+        _h("w=" + lw),
+        _h("suf3=" + lw[-3:]),
+        _h("pre1=" + lw[:1]),
+        _h("isnum=" + str(w.replace(".", "", 1).isdigit())),
+        _h("istitle=" + str(w.istitle())),
+        _h("prev_label=" + prev_label),
+    ]
+    for off in range(-k, k + 1):
+        if off == 0:
+            continue
+        j = i + off
+        nb = words[j].lower() if 0 <= j < len(words) else "<pad>"
+        feats.append(_h(f"{off}:w={nb}"))
+    return feats
+
+
+class PerceptronLearner:
+    """Averaged structured perceptron; plugs into model.Model and the
+    operators/ner_model broadcast + Arrow batch contract."""
+
+    def __init__(self, epochs: int = 5, window: int = 2) -> None:
+        self.epochs = epochs
+        self.window = window
+        self.weights: dict[tuple[str, int], float] = {}
+        self.labels: list[str] = ["O"]
+
+    def fresh(self) -> "PerceptronLearner":
+        return PerceptronLearner(self.epochs, self.window)
+
+    # ------------------------------------------------------------- scoring
+
+    def _score(self, feats: list[int], label: str) -> float:
+        w = self.weights
+        return sum(w.get((label, f), 0.0) for f in feats)
+
+    def _predict_sentence(self, words: Sequence[str]) -> list[str]:
+        out: list[str] = []
+        prev = "<s>"
+        for i in range(len(words)):
+            feats = token_features(words, i, prev, self.window)
+            best = max(self.labels, key=lambda lb: (self._score(feats, lb), lb))
+            out.append(best)
+            prev = best
+        return out
+
+    def __call__(self, sentences: list[list[str]]) -> list[list[str]]:
+        return [self._predict_sentence(s) for s in sentences]
+
+    # ----------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        examples: Iterable[tuple[Sequence[str], Sequence[str]]],
+        epochs: int | None = None,
+    ) -> "PerceptronLearner":
+        """Averaged perceptron over (words, gold_labels) sentences.
+
+        Training uses the GOLD previous label (teacher forcing) so shard
+        order only affects update order, and keeps the running-average
+        trick: final weight = w - u/t.
+        """
+        examples = list(examples)
+        label_set = {"O"}
+        for _, labels in examples:
+            label_set.update(labels)
+        self.labels = sorted(label_set)
+        w: dict[tuple[str, int], float] = defaultdict(float)
+        u: dict[tuple[str, int], float] = defaultdict(float)
+        t = 1
+        self.weights = w
+        for _ in range(epochs or self.epochs):
+            for words, gold in examples:
+                prev = "<s>"
+                for i in range(len(words)):
+                    feats = token_features(words, i, prev, self.window)
+                    guess = max(self.labels, key=lambda lb: (self._score(feats, lb), lb))
+                    g = gold[i]
+                    if guess != g:
+                        for f in feats:
+                            w[(g, f)] += 1.0
+                            u[(g, f)] += t
+                            w[(guess, f)] -= 1.0
+                            u[(guess, f)] -= t
+                    prev = g
+                    t += 1
+        self.weights = {
+            k: v - u[k] / t for k, v in w.items() if v - u[k] / t != 0.0
+        }
+        return self
+
+    # --------------------------------------------------- distributed fit
+
+    def fit_sharded(self, sentence_df, n_shards: int = 32) -> "PerceptronLearner":
+        """Parameter-mixing fit: shard sentences deterministically by doc
+        key, train one local averaged perceptron per shard inside an Arrow
+        batch (applyInPandas — never row-level Python), and average the
+        sparse weight dicts on the driver. Only n_shards weight dicts are
+        collected — model-scale, not corpus-scale.
+
+        sentence_df columns: doc_id (any orderable), sent_id int,
+        words array<string>, labels array<string>.
+        """
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        epochs, window = self.epochs, self.window
+        sh = sentence_df.select(
+            (F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % n_shards)
+            .cast("int").alias("shard"),
+            "doc_id", "sent_id", "words", "labels",
+        )
+
+        def train(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["doc_id", "sent_id"])  # deterministic order
+            local = PerceptronLearner(epochs, window)
+            local.fit(list(zip(pdf["words"], pdf["labels"])))
+            return pd.DataFrame({
+                "shard": [int(pdf["shard"].iloc[0])],
+                "blob": [pickle.dumps((local.labels, local.weights))],
+            })
+
+        rows = (
+            sh.groupBy("shard")
+            .applyInPandas(train, "shard int, blob binary")
+            .collect()
+        )
+        merged: dict[tuple[str, int], float] = defaultdict(float)
+        label_set = {"O"}
+        n = max(len(rows), 1)
+        for r in sorted(rows, key=lambda r: r["shard"]):
+            labels, weights = pickle.loads(bytes(r["blob"]))
+            label_set.update(labels)
+            for k, v in weights.items():
+                merged[k] += v / n
+        self.labels = sorted(label_set)
+        self.weights = dict(merged)
+        return self

@@ -17,7 +17,10 @@ Mirrors medacy's main entry surface (medacy/model/model.py:200-475):
 The built-in ``FrequencyLearner`` (most-frequent-tag-per-word + the unit
 adjacency rules) stands in for CRF/BiLSTM/BERT — those libraries aren't in
 this container; any callable (sentences -> label lists) plugs into the
-same broadcast + batch contract (operators/ner_model.py).
+same broadcast + batch contract (operators/ner_model.py). For a learner
+with real model state, ``learners.PerceptronLearner`` (numpy-free averaged
+structured perceptron, sharded parameter-mixing fit) trains through the
+same ``Model`` facade: ``Model(spark, PerceptronLearner()).fit(...)``.
 """
 
 from __future__ import annotations
@@ -45,6 +48,9 @@ class FrequencyLearner:
     def fit_table(self, table: dict[str, str]) -> "FrequencyLearner":
         self.table = table
         return self
+
+    def fresh(self) -> "FrequencyLearner":
+        return FrequencyLearner()
 
     def __call__(self, sentences: list[list[str]]) -> list[list[str]]:
         out = []
@@ -74,18 +80,34 @@ class Model:
     def fit(self, documents: DataFrame, gold_mentions: DataFrame) -> "Model":
         toks = tokenize_native(documents.select("doc_id", "text"))
         labeled = gold_overlay(toks, gold_mentions)
-        # distributed statistics; only the vocab-scale table is collected
-        stats = (
-            labeled.filter(F.col("gold_label") != "O")
-            .groupBy(F.lower("word").alias("w"), "gold_label")
-            .agg(F.count("*").alias("n"))
-        )
-        from pyspark.sql import Window
+        if hasattr(self.learner, "fit_table"):
+            # distributed statistics; only the vocab-scale table is collected
+            stats = (
+                labeled.filter(F.col("gold_label") != "O")
+                .groupBy(F.lower("word").alias("w"), "gold_label")
+                .agg(F.count("*").alias("n"))
+            )
+            from pyspark.sql import Window
 
-        wnd = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("gold_label"))
-        top = stats.withColumn("_rn", F.row_number().over(wnd)).filter("_rn = 1")
-        table = {r["w"]: r["gold_label"] for r in top.collect()}
-        self.learner.fit_table(table)
+            wnd = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("gold_label"))
+            top = stats.withColumn("_rn", F.row_number().over(wnd)).filter("_rn = 1")
+            table = {r["w"]: r["gold_label"] for r in top.collect()}
+            self.learner.fit_table(table)
+        else:
+            # sequence learners (learners.PerceptronLearner): parameter-
+            # mixing fit — per-shard training inside Arrow batches, only
+            # n_shards sparse weight dicts reach the driver (X3 analogue
+            # of the reference's driver-side learner.fit)
+            sent_df = labeled.groupBy("doc_id", "sent_id").agg(
+                F.array_sort(
+                    F.collect_list(F.struct("tok_id", "word", "gold_label"))
+                ).alias("a")
+            ).select(
+                "doc_id", "sent_id",
+                F.transform("a", lambda x: x["word"]).alias("words"),
+                F.transform("a", lambda x: x["gold_label"]).alias("labels"),
+            )
+            self.learner.fit_sharded(sent_df)
         self._bc = self.spark.sparkContext.broadcast(self.learner)
         return self
 
@@ -147,7 +169,7 @@ class Model:
             train_gold = gold_f.filter(F.col("fold") != k).drop("fold")
             test_docs = docs_f.filter(F.col("fold") == k).drop("fold")
             test_gold = gold_f.filter(F.col("fold") == k).drop("fold")
-            m = Model(self.spark, FrequencyLearner()).fit(train_docs, train_gold)
+            m = Model(self.spark, self.learner.fresh()).fit(train_docs, train_gold)
             pred = m.predict(test_docs)
             scored = with_prf(measures(test_gold, pred, mode="strict"))
             per_fold.append(scored.withColumn("fold", F.lit(k)))
