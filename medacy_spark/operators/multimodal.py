@@ -57,29 +57,45 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return (hist / total).astype(np.float32) if total else np.zeros(16, np.float32)
 
 
-def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, fake: bool = False, decoder=None
+) -> DataFrame:
     """media(MEDIA_SCHEMA) -> (doc_id, media_type, feature array<float>, ok).
 
-    Real path requires decode libraries not present in this container:
-    raises NotImplementedError unless fake=True (deterministic fake
-    decoder). The mapInPandas topology — iterator batching, bounded batch
-    memory via arrow.maxRecordsPerBatch, per-row error flagging instead of
-    task failure — is the production shape either way.
+    DECODER CONTRACT (what a real PIL/ffmpeg decoder must satisfy to be a
+    drop-in swap — enforced by test_media_decoder_contract):
+
+      decoder(payload: bytes, meta: dict) -> sequence of float
+        * pure per row: same (payload, meta) -> same vector, no I/O
+          outside the payload (executors see only the Arrow batch);
+        * fixed dimensionality per media family (all finite floats) —
+          downstream ANN/near-dup operators index on a constant dim;
+        * per-row failures raise — the stage converts them to
+          (feature=None, ok=False) so one corrupt payload never fails the
+          task (the reference's corrupt-file skip, dataset.py:150-155).
+
+    Real decode libraries are not in this container: with neither
+    ``decoder`` nor ``fake`` the stage raises NotImplementedError.
+    ``fake=True`` selects the deterministic byte-histogram decoder, which
+    exercises the identical mapInPandas topology — iterator batching,
+    bounded batch memory via arrow.maxRecordsPerBatch, per-row error
+    flagging instead of task failure.
     """
+    if decoder is None and fake:
+        def decoder(payload, meta):  # noqa: F811 - the documented default
+            return _fake_decode(payload, meta["width"], meta["height"]).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, oks = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 try:
-                    if not fake:
+                    if decoder is None:
                         raise NotImplementedError(
                             "media decode requires PIL/ffmpeg — not in this container; "
-                            "pass fake=True for the deterministic test decoder"
+                            "pass decoder=... or fake=True for the deterministic test decoder"
                         )
-                    feats.append(
-                        _fake_decode(bytes(payload), meta["width"], meta["height"]).tolist()
-                    )
+                    feats.append([float(v) for v in decoder(bytes(payload), meta)])
                     oks.append(True)
                 except NotImplementedError:
                     raise
