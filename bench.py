@@ -43,6 +43,43 @@ HEADLINE = [
 ]
 
 
+def _calibrate(cpus: int) -> dict:
+    """Same-run pure-CPU ceiling (tools/cpu_calibrate.burn): the host's
+    single-worker burn wall and its cpus-way parallel speedup, recorded in
+    the bench JSON so a slower BENCH_r{N} can be mechanically attributed
+    to thermal/co-tenant drift vs a real plan regression (the host swings
+    1.5-2x between runs; BENCH.md)."""
+    import multiprocessing as mp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from cpu_calibrate import burn
+
+    units = 64
+
+    def wall(workers: int) -> float:
+        per = [units // workers + (1 if i < units % workers else 0)
+               for i in range(workers)]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            with mp.Pool(workers) as p:
+                p.map(burn, per)
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    w1, wn = wall(1), wall(cpus)
+    return {
+        "workers": cpus,
+        # wall_1w is the thermal-drift signal (single-core burn rate);
+        # the speedup is COARSE (64 units -> pool startup inflates the
+        # N-way wall) — the fine ceiling comes from tools/cpu_calibrate.py
+        # at 192+ units, run alongside tools/scaling_bench.py
+        "wall_1w_sec": w1,
+        "wall_nw_sec": wn,
+        "parallel_speedup_coarse": round(w1 / wn, 2) if wn else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -144,6 +181,7 @@ def main() -> None:
         dedup_rate = max(dedup_rate, round(n_dedup / (time.monotonic() - t0), 1))
         assert survivors <= n_dedup - n_dedup // 200 + 1  # planted dups removed
 
+    spark.stop()
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
@@ -154,8 +192,10 @@ def main() -> None:
         "kg_pipeline_docs_per_sec": docs_per_sec,
         "kg_docs_per_sec_sustained_200k": sustained,
         "dedup_docs_per_sec_100k": dedup_rate,
+        # host ceiling measured AFTER spark.stop() in the same process, so
+        # the burn never contends with executor threads
+        "calibration": _calibrate(cpus),
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
