@@ -1934,6 +1934,229 @@ def q_model_mention_counts(spark, sf):
     return m.groupBy("tag").agg(F.count("*").alias("cnt")).orderBy("tag")
 
 
+# ---- A12: OOV tokens (nn/vectorizer.py:207-213) — distinct lowercased
+# tokens absent from a broadcast vocabulary (here: the keyword list).
+
+
+@q("oov_tokens", BASE_CTES + """
+SELECT DISTINCT lower(word) AS word FROM tokens
+WHERE doc_id < 100 AND lower(word) NOT IN ({kw})
+ORDER BY word
+""".format(kw=_sql_list(KEYWORDS)))
+def q_oov_tokens(spark, sf):
+    from medacy_spark.operators.misc import oov_tokens
+
+    t = tokens_df(spark, sf).filter(F.col("doc_id") < 100)
+    vocab = spark.createDataFrame([(k,) for k in KEYWORDS], "word string")
+    return oov_tokens(t, vocab).orderBy("word")
+
+
+# ---- J13/F7: mention text recovered by slicing the document
+# (model.py:112-118: text[start:end]).
+
+
+@q("mention_slice", BASE_CTES + """
+SELECT doc_id, tag, start, "end", text FROM gold ORDER BY doc_id, start, tag
+""")
+def q_mention_slice(spark, sf):
+    from medacy_spark.operators.misc import mention_text_from_doc
+
+    g = gold_df(spark, sf).drop("text", "pos")
+    out = mention_text_from_doc(g, _docs(spark, sf).select("doc_id", "text"))
+    return out.select("doc_id", "tag", "start", "end", "text").orderBy(
+        "doc_id", "start", "tag"
+    )
+
+
+# ---- P10: POS-drop filter (pos_drop_feature_extractor.py:27-45) — drop
+# ignored-POS tokens unless they are targets. pos_ is synthesized from
+# word-length parity; targets are the keyword tokens.
+
+
+@q("pos_drop", BASE_CTES + """
+SELECT doc_id, pos, word FROM (
+  SELECT doc_id, pos, word,
+         CASE WHEN length(word) % 2 = 0 THEN 'PUNCT' ELSE 'NOUN' END AS pos_,
+         word IN ({kw}) AS is_target
+  FROM tokens WHERE doc_id < 200)
+WHERE pos_ NOT IN ('PUNCT') OR is_target
+ORDER BY doc_id, pos
+""".format(kw=_sql_list(KEYWORDS)))
+def q_pos_drop(spark, sf):
+    from medacy_spark.operators.misc import pos_drop
+
+    t = tokens_df(spark, sf).filter(F.col("doc_id") < 200).select(
+        "doc_id", "pos", "word",
+        F.when(F.length("word") % 2 == 0, F.lit("PUNCT"))
+        .otherwise(F.lit("NOUN")).alias("pos_"),
+        F.col("word").isin(KEYWORDS).alias("is_target"),
+    )
+    return pos_drop(t, ignored_pos=("PUNCT",)).select(
+        "doc_id", "pos", "word"
+    ).orderBy("doc_id", "pos")
+
+
+# ---- P9: feature projection — map_filter keeps only feature_* keys
+# (discrete_feature_extractor.py:97-104). Map columns hash unstably across
+# engines, so the verified projection is the kept-key count + one witness.
+
+
+@q("feature_projection", BASE_CTES + """
+SELECT doc_id, start,
+       CAST(2 AS INT) AS n_kept,
+       'F' || CAST((doc_id + start) % 7 AS VARCHAR) AS feature_shape
+FROM gold ORDER BY doc_id, start
+""")
+def q_feature_projection(spark, sf):
+    from medacy_spark.operators.misc import feature_projection
+
+    g = gold_df(spark, sf)
+    k = (F.col("doc_id") + F.col("start")) % 7
+    feats = F.create_map(
+        F.lit("feature_shape"), F.concat(F.lit("F"), k.cast("string")),
+        F.lit("feature_len"), F.length("text").cast("string"),
+        F.lit("debug_raw"), F.col("text"),
+        F.lit("pos"), F.col("pos").cast("string"),
+    )
+    out = g.select("doc_id", "start", feature_projection(feats).alias("features"))
+    return out.select(
+        "doc_id", "start",
+        F.size("features").alias("n_kept"),
+        F.col("features")["feature_shape"].alias("feature_shape"),
+    ).orderBy("doc_id", "start")
+
+
+# ---- P3: label-subset predicate — keep only configured entity labels.
+
+
+@q("label_subset", BASE_CTES + """
+SELECT doc_id, tag, start, "end" FROM gold
+WHERE tag IN ('join', 'filter', 'scan')
+ORDER BY doc_id, start, tag
+""")
+def q_label_subset(spark, sf):
+    g = gold_df(spark, sf)
+    return g.filter(F.col("tag").isin(["join", "filter", "scan"])).select(
+        "doc_id", "tag", "start", "end"
+    ).orderBy("doc_id", "start", "tag")
+
+
+# ---- P5: broken-annotation guard — spans with start > end are dropped by
+# the overlay (gold_annotator_component.py:57-66 try/except per span); the
+# output must equal the clean overlay exactly.
+
+
+@q("overlay_broken_guard", BASE_CTES + """
+SELECT t.doc_id, CAST(t.start AS BIGINT) AS idx, g.tag AS gold_label
+FROM tokens t JOIN gold g
+  ON t.doc_id = g.doc_id AND t.start >= g.start AND t."end" <= g."end"
+ORDER BY t.doc_id, idx, gold_label
+""")
+def q_overlay_broken_guard(spark, sf):
+    from medacy_spark.operators.overlay import gold_overlay
+
+    t = tokens_df(spark, sf).select(
+        "doc_id", F.col("start").alias("idx"), F.col("end").alias("end_idx"), "word"
+    )
+    g = gold_df(spark, sf).select("doc_id", "tag", "start", "end")
+    broken = g.select(
+        "doc_id", "tag",
+        (F.col("end") + 5).alias("start"), F.col("start").alias("end"),
+    )
+    out = gold_overlay(t, g.unionByName(broken))
+    return out.filter(F.col("gold_label") != "O").select(
+        "doc_id", F.col("idx").cast("long").alias("idx"), "gold_label"
+    ).orderBy("doc_id", "idx", "gold_label")
+
+
+# ---- J12: fold split — train/test partition of the doc spine for one
+# fold (model.py:380-392), on top of the X4 assignment already oracled by
+# fold_assignment.
+
+
+@q("fold_split", BASE_CTES + """
+, seqs AS (
+  SELECT doc_id, min(word) AS first_label
+  FROM tokens WHERE word IN ({kw}) GROUP BY doc_id),
+folds AS (
+  SELECT doc_id,
+         CAST((row_number() OVER (ORDER BY first_label, doc_id) - 1) % 5 AS INT) AS fold
+  FROM seqs)
+SELECT doc_id, CASE WHEN fold = 1 THEN 'test' ELSE 'train' END AS side
+FROM folds ORDER BY doc_id
+""".format(kw=_sql_list(KEYWORDS)))
+def q_fold_split(spark, sf):
+    from medacy_spark.operators.folds import assign_folds, fold_split
+
+    t = tokens_df(spark, sf)
+    seqs = (
+        t.filter(F.col("word").isin(KEYWORDS))
+        .groupBy("doc_id")
+        .agg(F.collect_set("word").alias("labels"))
+        .withColumnRenamed("doc_id", "seq_id")
+    )
+    folds = assign_folds(seqs, 5)
+    train, test = fold_split(seqs.select("seq_id"), folds, k=1)
+    out = train.select(
+        F.col("seq_id").alias("doc_id"), F.lit("train").alias("side")
+    ).unionByName(
+        test.select(F.col("seq_id").alias("doc_id"), F.lit("test").alias("side"))
+    )
+    return out.orderBy("doc_id")
+
+
+# ---- F10: extension switch with the intended suffix semantics (the
+# reference's str.strip('.txt') strips CHARACTERS — documented bug,
+# model.py:215,310).
+
+
+@q("switch_extension", """
+SELECT doc_id,
+       'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.ann' AS ann_path
+FROM documents ORDER BY doc_id
+""")
+def q_switch_extension(spark, sf):
+    from medacy_spark.operators.misc import switch_extension
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit("corpus/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
+        .alias("path"),
+    )
+    return d.select(
+        "doc_id", switch_extension(F.col("path"), ".ann").alias("ann_path")
+    ).orderBy("doc_id")
+
+
+# ---- M5/J9: dictionary entity linking with the deterministic ambiguity
+# tie-break (smallest CUI wins when no embeddings are supplied) —
+# linking.link_mentions over a two-CUIs-per-term dictionary.
+
+
+@q("link_mentions_tiebreak", BASE_CTES + """
+SELECT doc_id, tag, start, "end",
+       'C' || lpad(CAST({kwcase} * 2 AS VARCHAR), 4, '0') AS cui
+FROM gold ORDER BY doc_id, start, tag
+""".format(kwcase="CASE tag " + " ".join(
+    f"WHEN '{k}' THEN {i}" for i, k in enumerate(KEYWORDS)) + " END"))
+def q_link_mentions_tiebreak(spark, sf):
+    from medacy_spark.operators.linking import link_mentions
+
+    g = gold_df(spark, sf)
+    # two candidate CUIs per surface form; the even one sorts first
+    rows = []
+    for i, k in enumerate(KEYWORDS):
+        rows.append((k, f"C{2 * i:04d}", ["T1"]))
+        rows.append((k, f"C{2 * i + 1:04d}", ["T2"]))
+    dictionary = spark.createDataFrame(
+        rows, "term string, cui string, sem_types array<string>"
+    )
+    out = link_mentions(g, dictionary)
+    return out.select("doc_id", "tag", "start", "end", "cui").orderBy(
+        "doc_id", "start", "tag"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
