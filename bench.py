@@ -144,8 +144,10 @@ def main() -> None:
 
     kg(2000)  # codegen warm-up
     n_sustained = 200_000
+    kg(n_sustained)  # one full-size untimed pass: C2 needs the volume
+                     # (same protocol as tools/scaling_bench.py)
     sustained = 0.0
-    for _pass in range(2):
+    for _pass in range(3):
         t0 = time.monotonic()
         kg(n_sustained)
         sustained = max(sustained, round(n_sustained / (time.monotonic() - t0), 1))
@@ -174,6 +176,7 @@ def main() -> None:
 
     dedup_corpus(web_docs(2000)).count()  # warm-up
     n_dedup = 100_000
+    dedup_corpus(web_docs(n_dedup)).count()  # full-size untimed warm pass
     dedup_rate = 0.0
     for _pass in range(2):
         t0 = time.monotonic()
