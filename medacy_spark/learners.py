@@ -19,9 +19,11 @@ model.FrequencyLearner:
 
 The model is an averaged structured perceptron (Collins 2002) with
 hashed sparse features (stable crc32 — never Python ``hash``, which is
-per-process salted) over a ±k word window plus the previous predicted
-label, greedy left-to-right decode. Weights live in a dict keyed
-(label, feature-hash): vocabulary-scale, pickles cleanly for broadcast.
+per-process salted) over a ±k word window, plus a previous-label
+transition feature decoded EXACTLY with Viterbi (O(L²) per token over a
+label set of ≤dozens — negligible next to the emission dot products).
+Weights live in a dict keyed (label, feature-hash): vocabulary-scale,
+pickles cleanly for broadcast.
 """
 
 from __future__ import annotations
@@ -32,15 +34,17 @@ from collections.abc import Iterable, Sequence
 
 D = 1 << 20  # feature-hash space
 
+_START = "<s>"
+
 
 def _h(s: str) -> int:
     return zlib.crc32(s.encode()) % D
 
 
-def token_features(words: Sequence[str], i: int, prev_label: str, k: int = 2) -> list[int]:
-    """Hashed feature ids for token i: surface/prefix/suffix/shape-lite of
-    the token, lowercased neighbors in ±k, and the previous label (the
-    'structured' part — decode is greedy left-to-right)."""
+def token_features(words: Sequence[str], i: int, k: int = 2) -> list[int]:
+    """Static (emission) hashed feature ids for token i: surface/prefix/
+    suffix/shape-lite of the token and lowercased neighbors in ±k. The
+    previous-label transition feature is handled separately by Viterbi."""
     w = words[i]
     lw = w.lower()
     feats = [
@@ -50,7 +54,6 @@ def token_features(words: Sequence[str], i: int, prev_label: str, k: int = 2) ->
         _h("pre1=" + lw[:1]),
         _h("isnum=" + str(w.replace(".", "", 1).isdigit())),
         _h("istitle=" + str(w.istitle())),
-        _h("prev_label=" + prev_label),
     ]
     for off in range(-k, k + 1):
         if off == 0:
@@ -59,6 +62,10 @@ def token_features(words: Sequence[str], i: int, prev_label: str, k: int = 2) ->
         nb = words[j].lower() if 0 <= j < len(words) else "<pad>"
         feats.append(_h(f"{off}:w={nb}"))
     return feats
+
+
+def _trans_feat(prev_label: str) -> int:
+    return _h("prev_label=" + prev_label)
 
 
 class PerceptronLearner:
@@ -80,18 +87,44 @@ class PerceptronLearner:
         w = self.weights
         return sum(w.get((label, f), 0.0) for f in feats)
 
-    def _predict_sentence(self, words: Sequence[str]) -> list[str]:
-        out: list[str] = []
-        prev = "<s>"
-        for i in range(len(words)):
-            feats = token_features(words, i, prev, self.window)
-            best = max(self.labels, key=lambda lb: (self._score(feats, lb), lb))
-            out.append(best)
-            prev = best
-        return out
+    def _viterbi(self, words: Sequence[str]) -> list[str]:
+        """Exact argmax over label sequences: emission scores from the
+        static features, transition score = weight of the prev_label
+        feature under the current label. Ties break toward the
+        lexicographically smallest path (deterministic)."""
+        n = len(words)
+        if n == 0:
+            return []
+        L = self.labels
+        w = self.weights
+        trans = {
+            p: {y: w.get((y, _trans_feat(p)), 0.0) for y in L}
+            for p in [_START, *L]
+        }
+        emit0 = token_features(words, 0, self.window)
+        # score descending, label ascending — max() keeps the first best
+        dp = {y: self._score(emit0, y) + trans[_START][y] for y in L}
+        back: list[dict[str, str]] = []
+        for i in range(1, n):
+            emits = token_features(words, i, self.window)
+            ndp: dict[str, float] = {}
+            bp: dict[str, str] = {}
+            for y in L:
+                e = self._score(emits, y)
+                best_p = max(L, key=lambda p: (dp[p] + trans[p][y], p))
+                ndp[y] = dp[best_p] + trans[best_p][y] + e
+                bp[y] = best_p
+            dp = ndp
+            back.append(bp)
+        last = max(L, key=lambda y: (dp[y], y))
+        path = [last]
+        for bp in reversed(back):
+            path.append(bp[path[-1]])
+        path.reverse()
+        return path
 
     def __call__(self, sentences: list[list[str]]) -> list[list[str]]:
-        return [self._predict_sentence(s) for s in sentences]
+        return [self._viterbi(s) for s in sentences]
 
     # ----------------------------------------------------------------- fit
 
@@ -100,12 +133,10 @@ class PerceptronLearner:
         examples: Iterable[tuple[Sequence[str], Sequence[str]]],
         epochs: int | None = None,
     ) -> "PerceptronLearner":
-        """Averaged perceptron over (words, gold_labels) sentences.
-
-        Training uses the GOLD previous label (teacher forcing) so shard
-        order only affects update order, and keeps the running-average
-        trick: final weight = w - u/t.
-        """
+        """Collins-style structured perceptron: Viterbi-decode the whole
+        sentence under current weights, then update emission AND transition
+        features along the gold path (+1) and the predicted path (−1)
+        wherever they differ; running-average trick (final = w − u/t)."""
         examples = list(examples)
         label_set = {"O"}
         for _, labels in examples:
@@ -117,19 +148,25 @@ class PerceptronLearner:
         self.weights = w
         for _ in range(epochs or self.epochs):
             for words, gold in examples:
-                prev = "<s>"
-                for i in range(len(words)):
-                    feats = token_features(words, i, prev, self.window)
-                    guess = max(self.labels, key=lambda lb: (self._score(feats, lb), lb))
-                    g = gold[i]
-                    if guess != g:
-                        for f in feats:
-                            w[(g, f)] += 1.0
-                            u[(g, f)] += t
-                            w[(guess, f)] -= 1.0
-                            u[(guess, f)] -= t
-                    prev = g
-                    t += 1
+                pred = self._viterbi(words)
+                if list(pred) != list(gold):
+                    gp, pp = _START, _START
+                    for i in range(len(words)):
+                        feats = token_features(words, i, self.window)
+                        g, y = gold[i], pred[i]
+                        if g != y:
+                            for f in feats:
+                                w[(g, f)] += 1.0
+                                u[(g, f)] += t
+                                w[(y, f)] -= 1.0
+                                u[(y, f)] -= t
+                        if (g, gp) != (y, pp):
+                            w[(g, _trans_feat(gp))] += 1.0
+                            u[(g, _trans_feat(gp))] += t
+                            w[(y, _trans_feat(pp))] -= 1.0
+                            u[(y, _trans_feat(pp))] -= t
+                        gp, pp = g, y
+                t += 1
         self.weights = {
             k: v - u[k] / t for k, v in w.items() if v - u[k] / t != 0.0
         }

@@ -81,8 +81,8 @@ def test_perceptron_cross_validate(spark, ambiguous_corpus):
 
 
 def test_perceptron_driver_fit_matches_contract():
-    """Pure-python fit path (no Spark): learns the context rule and the
-    teacher-forced prev-label feature chain decodes greedily."""
+    """Pure-python fit path (no Spark): learns the context rule; Viterbi
+    decode reproduces the gold sequence."""
     sents = [(TEXT.split(" "), ["O", "Drug", "O", "O", "O", "ADE", "O", "O"])] * 10
     p = PerceptronLearner(epochs=3).fit(sents)
     out = p([TEXT.split(" ")])
@@ -92,3 +92,16 @@ def test_perceptron_driver_fit_matches_contract():
 
     p2 = pickle.loads(pickle.dumps(p))
     assert p2([TEXT.split(" ")]) == out
+
+
+def test_perceptron_viterbi_uses_transitions():
+    """Structured inference, not per-token classification: the middle of a
+    long same-word run has IDENTICAL emission features at every position
+    (±2 windows all see 'm m _ m m'), so only the learned label-transition
+    weights can reproduce an alternating label pattern."""
+    words = ["m"] * 9
+    gold = ["Drug" if i % 2 == 0 else "Dose" for i in range(9)]
+    p = PerceptronLearner(epochs=10).fit([(words, gold)] * 5)
+    assert p([words]) == [gold]
+    # and a run of a different length still alternates from the start
+    assert p([["m"] * 5]) == [["Drug", "Dose", "Drug", "Dose", "Drug"]]
