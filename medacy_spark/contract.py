@@ -2157,6 +2157,139 @@ def q_link_mentions_tiebreak(spark, sf):
     )
 
 
+# ---- F2/S9: i2b2 .rel / .ast line parse (rel_to_brat.py, con/ast
+# regexes). Lines are synthesized from adjacent-token pairs with the
+# format's own quoting; the oracle reconstructs the parsed fields
+# directly. Every third rel line is malformed (missing second concept) to
+# exercise the validity filter.
+
+
+@q("rel_parse", BASE_CTES + """
+, pairs AS (
+  SELECT doc_id, pos, word,
+         lead(word) OVER w AS nword
+  FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY word IN ({kw}) AND lead(word) OVER w IS NOT NULL)
+SELECT doc_id,
+       word AS arg1_text,
+       CAST(doc_id % 5 AS INT) AS a1_line, CAST(pos AS INT) AS a1_word,
+       'TrIP' AS rel,
+       nword AS arg2_text,
+       CAST(doc_id % 5 AS INT) AS a2_line, CAST(pos + 1 AS INT) AS a2_word
+FROM pairs WHERE pos % 3 <> 0
+ORDER BY doc_id, a1_word
+""".format(kw=_sql_list(KEYWORDS)))
+def q_rel_parse(spark, sf):
+    from medacy_spark.sources.converters import parse_rel
+
+    t = tokens_df(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        t.withColumn("nword", F.lead("word").over(w))
+        .filter(F.col("word").isin(KEYWORDS) & F.col("nword").isNotNull())
+    )
+    line = F.when(
+        F.col("pos") % 3 == 0,
+        # malformed: second concept missing -> must be filtered out
+        F.format_string('c="%s" %d:%d||r="TrIP"', "word",
+                        (F.col("doc_id") % 5).cast("int"), F.col("pos").cast("int")),
+    ).otherwise(
+        F.format_string(
+            'c="%s" %d:%d %d:%d||r="TrIP"||c="%s" %d:%d %d:%d',
+            "word",
+            (F.col("doc_id") % 5).cast("int"), F.col("pos").cast("int"),
+            (F.col("doc_id") % 5).cast("int"), F.col("pos").cast("int"),
+            "nword",
+            (F.col("doc_id") % 5).cast("int"), (F.col("pos") + 1).cast("int"),
+            (F.col("doc_id") % 5).cast("int"), (F.col("pos") + 1).cast("int"),
+        )
+    )
+    return parse_rel(pairs.select("doc_id", line.alias("line"))).orderBy(
+        "doc_id", "a1_word"
+    )
+
+
+@q("ast_parse", BASE_CTES + """
+SELECT doc_id, text, tag, assertion, start_line, start_word FROM (
+  SELECT doc_id, text, tag,
+         CASE WHEN (doc_id + pos) % 2 = 0 THEN 'present' ELSE 'absent' END
+           AS assertion,
+         CAST(doc_id % 5 AS INT) AS start_line, CAST(pos AS INT) AS start_word
+  FROM gold)
+ORDER BY doc_id, start_word
+""")
+def q_ast_parse(spark, sf):
+    from medacy_spark.sources.converters import parse_ast
+
+    g = gold_df(spark, sf)
+    line = F.format_string(
+        'c="%s" %d:%d %d:%d||t="%s"||a="%s"',
+        "text",
+        (F.col("doc_id") % 5).cast("int"), F.col("pos").cast("int"),
+        (F.col("doc_id") % 5).cast("int"), F.col("pos").cast("int"),
+        "tag",
+        F.when((F.col("doc_id") + F.col("pos")) % 2 == 0, F.lit("present"))
+        .otherwise(F.lit("absent")),
+    )
+    return parse_ast(g.select("doc_id", line.alias("line"))).orderBy(
+        "doc_id", "start_word"
+    )
+
+
+# ---- J11: BRAT R-lines — relations against the T numbering the mention
+# writer assigns (add_rel_to_brat.py:154). Mentions = gold keyword tokens;
+# relations = adjacent keyword pairs; T numbers follow (start, end) order.
+
+
+@q("r_lines", BASE_CTES + """
+, nums AS (
+  SELECT doc_id, start, "end",
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end") AS INT)
+           AS t_num
+  FROM (SELECT DISTINCT doc_id, start, "end" FROM gold)),
+pairs AS (
+  SELECT doc_id, start AS s1, "end" AS e1,
+         lead(start) OVER w AS s2, lead("end") OVER w AS e2,
+         word, lead(word) OVER w AS nword
+  FROM tokens
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY word IN ({kw}) AND lead(word) OVER w IN ({kw})),
+rels AS (
+  SELECT p.doc_id, a.t_num AS subj_t, b.t_num AS obj_t
+  FROM pairs p
+  JOIN nums a ON a.doc_id = p.doc_id AND a.start = p.s1 AND a."end" = p.e1
+  JOIN nums b ON b.doc_id = p.doc_id AND b.start = p.s2 AND b."end" = p.e2)
+SELECT doc_id,
+       printf('R%d\tnext_to Arg1:T%d Arg2:T%d',
+              CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY subj_t, obj_t) AS INT), subj_t, obj_t) AS line
+FROM rels ORDER BY doc_id, line
+""".format(kw=_sql_list(KEYWORDS)))
+def q_r_lines(spark, sf):
+    from medacy_spark.operators.relations import triples_to_brat_lines
+
+    t = tokens_df(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        t.withColumn("nword", F.lead("word").over(w))
+        .withColumn("nstart", F.lead("start").over(w))
+        .withColumn("nend", F.lead("end").over(w))
+        .filter(F.col("word").isin(KEYWORDS) & F.col("nword").isin(KEYWORDS))
+    )
+    triples = pairs.select(
+        "doc_id",
+        F.struct(
+            F.col("start").alias("start"), F.col("end").alias("end")
+        ).alias("subj"),
+        F.lit("next_to").alias("pred"),
+        F.struct(
+            F.col("nstart").alias("start"), F.col("nend").alias("end")
+        ).alias("obj"),
+    )
+    mentions = gold_df(spark, sf).select("doc_id", "start", "end")
+    return triples_to_brat_lines(triples, mentions).orderBy("doc_id", "line")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
