@@ -90,8 +90,8 @@ class PerceptronLearner:
     def _viterbi(self, words: Sequence[str]) -> list[str]:
         """Exact argmax over label sequences: emission scores from the
         static features, transition score = weight of the prev_label
-        feature under the current label. Ties break toward the
-        lexicographically smallest path (deterministic)."""
+        feature under the current label. Score ties break toward the
+        lexicographically LARGEST label at each step (deterministic)."""
         n = len(words)
         if n == 0:
             return []
@@ -191,7 +191,7 @@ class PerceptronLearner:
 
         epochs, window = self.epochs, self.window
         sh = sentence_df.select(
-            (F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % n_shards)
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
             .cast("int").alias("shard"),
             "doc_id", "sent_id", "words", "labels",
         )
