@@ -185,6 +185,10 @@ def main() -> None:
         assert survivors <= n_dedup - n_dedup // 200 + 1  # planted dups removed
 
     spark.stop()
+    try:
+        calibration = _calibrate(cpus)
+    except Exception:
+        calibration = None  # never lose the Spark measurements over a burn
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
@@ -197,7 +201,7 @@ def main() -> None:
         "dedup_docs_per_sec_100k": dedup_rate,
         # host ceiling measured AFTER spark.stop() in the same process, so
         # the burn never contends with executor threads
-        "calibration": _calibrate(cpus),
+        "calibration": calibration,
     }))
 
 

@@ -67,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
             docs, _ = _dataset(spark, args.dataset)
             mentions = Model.load(spark, args.model).predict(docs)
             write_brat_dir(mentions, args.output)
-            n = len([f for f in os.listdir(args.output) if f.endswith(".ann")])
+            n = mentions.select("doc_id").distinct().count()
             print(f"{n} .ann files written to {args.output}")
         else:  # validate
             docs, gold = _dataset(spark, args.dataset)

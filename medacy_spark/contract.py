@@ -28,6 +28,7 @@ have no oracle entry → the driver records the weaker rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1442,12 +1443,18 @@ def q_con_roundtrip(spark, sf):
 # the PMC fixture hashes in tests/test_tokenize.py.
 
 
-@q("clinical_rule_tokens", """
+_TOKEN_FIXTURE = os.path.abspath(os.path.join(
+    os.path.dirname(__file__),
+    "..", "tests", "fixtures", "clinical_rule_tokens.parquet",
+))
+
+
+@q("clinical_rule_tokens", f"""
 WITH sig AS (
   SELECT count(*) AS n, sum(doc_id * length(text)) AS s
   FROM documents WHERE doc_id < 50)
 SELECT f.doc_id, CAST(f.pos AS INT) AS pos, f.idx, f.end_idx, f.word
-FROM read_parquet('/root/repo/tests/fixtures/clinical_rule_tokens.parquet') f, sig
+FROM read_parquet('{_TOKEN_FIXTURE}') f, sig
 WHERE f.sig_n = sig.n AND f.sig_s = sig.s
 ORDER BY f.doc_id, f.pos
 """)

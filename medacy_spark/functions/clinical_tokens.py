@@ -228,8 +228,7 @@ def sentence_starts(words: list[str]) -> list[bool]:
     for i, w in enumerate(words):
         is_p = w in SENT_PUNCT_CHARS
         if seen and not is_p:
-            if i > 0:
-                out[i] = True
+            out[i] = True
             seen = False
         elif is_p:
             seen = True

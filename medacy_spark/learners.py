@@ -102,7 +102,6 @@ class PerceptronLearner:
             for p in [_START, *L]
         }
         emit0 = token_features(words, 0, self.window)
-        # score descending, label ascending — max() keeps the first best
         dp = {y: self._score(emit0, y) + trans[_START][y] for y in L}
         back: list[dict[str, str]] = []
         for i in range(1, n):

@@ -81,7 +81,15 @@ def extract_media_features(
     bounded batch memory via arrow.maxRecordsPerBatch, per-row error
     flagging instead of task failure.
     """
-    if decoder is None and fake:
+    if decoder is None:
+        if not fake:
+            # config error, raised at plan time on the driver — a decoder's
+            # own per-row exceptions (any type) are flagged, never re-raised
+            raise NotImplementedError(
+                "media decode requires PIL/ffmpeg — not in this container; "
+                "pass decoder=... or fake=True for the deterministic test decoder"
+            )
+
         def decoder(payload, meta):  # noqa: F811 - the documented default
             return _fake_decode(payload, meta["width"], meta["height"]).tolist()
 
@@ -90,15 +98,8 @@ def extract_media_features(
             feats, oks = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 try:
-                    if decoder is None:
-                        raise NotImplementedError(
-                            "media decode requires PIL/ffmpeg — not in this container; "
-                            "pass decoder=... or fake=True for the deterministic test decoder"
-                        )
                     feats.append([float(v) for v in decoder(bytes(payload), meta)])
                     oks.append(True)
-                except NotImplementedError:
-                    raise
                 except Exception:
                     feats.append(None)
                     oks.append(False)

@@ -308,9 +308,19 @@ def test_media_decoder_contract(spark, doc_ids):
     assert all(r["feature"] is None for r in rows if not r["ok"])
     assert sum(not r["ok"] for r in rows) == sum(1 for r in rows if r["doc_id"] % 7 == 0)
 
-    # no decoder and no fake -> the documented NotImplementedError stub
+    # no decoder and no fake -> the documented stub, raised driver-side at
+    # plan time (a real decoder's per-row exceptions are flagged instead)
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
-    with _pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
-        extract_media_features(media).collect()
+    with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        extract_media_features(media)
+
+    # a decoder raising NotImplementedError for ONE row (unsupported
+    # codec) flags that row, never kills the task
+    def picky(payload: bytes, meta: dict):
+        if meta["width"] % 2 == 1:
+            raise NotImplementedError("codec unsupported")
+        return [1.0]
+
+    rows = extract_media_features(media, decoder=picky).collect()
+    assert any(not r["ok"] for r in rows) and any(r["ok"] for r in rows)

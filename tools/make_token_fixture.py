@@ -54,6 +54,9 @@ def main() -> None:
                 cols["idx"].append(s)
                 cols["end_idx"].append(e)
                 cols["word"].append(w)
+        if not rows:
+            print(f"{d}: no documents with doc_id < 50 — skipped")
+            continue
         print(f"{d}: sig_s={rows[0][3]}  (cumulative rows: {len(cols['doc_id'])})")
     table = pa.table({
         "sig_n": pa.array(cols["sig_n"], pa.int64()),
