@@ -141,6 +141,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     base_hash: str = "xxhash64",
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
@@ -152,9 +153,18 @@ def minhash_lsh_candidates(
     _base_hash): band keys then stay as the raw signature concat string
     instead of an xxhash64 of it, so DuckDB joins on identical keys —
     same candidate topology, verifiable arithmetic.
+
+    ``cut_lineage`` localCheckpoints the signature table before the band
+    self-join: OSS Spark does not reuse the exchange between the two join
+    branches of a self-join (measured — the plan carries both aggregate
+    subtrees), so without the cut the shingle scan + signature
+    aggregation, the dominant cost at corpus scale, runs TWICE. Same
+    pattern as graph.connected_components' edge cut.
     """
     rows = num_hashes // bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, base_hash)
+    if cut_lineage:
+        sig = sig.localCheckpoint(eager=False)
     def _bucket(cols):
         joined = F.concat_ws(",", *cols)
         return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
@@ -228,9 +238,12 @@ def simhash_candidates(
     max_hamming: int = 3,
     n_blocks: int = 6,
     base_hash: str = "xxhash64",
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: Manku-style block banding over the 64-bit
     simhash (Detecting Near-Duplicates for Web Crawling, WWW'07).
+    ``cut_lineage`` as in minhash_lsh_candidates: the band self-join
+    otherwise recomputes the bit-vote aggregation once per side.
 
     The 64 bits split into ``n_blocks`` nearly-equal blocks; a pair within
     Hamming distance ``max_hamming`` flips bits in at most that many
@@ -245,6 +258,8 @@ def simhash_candidates(
     from itertools import combinations
 
     s = simhash64_table(df, text_col, id_col, base_hash=base_hash)
+    if cut_lineage:
+        s = s.localCheckpoint(eager=False)
     n_bits = simhash_bits(base_hash)
     sizes = [
         n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)

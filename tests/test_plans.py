@@ -150,22 +150,42 @@ def test_measures_strict_no_python(spark):
 def test_sketch_plans_no_cross_product_and_partial_agg(spark):
     """Scale claims encoded as plan gates: the dedup sketches must (a) never
     plan a cartesian product — candidate generation is equi-join only —
-    and (b) combine signatures map-side (partial aggregation) so the
-    shuffle carries one row per doc, not one per shingle."""
+    (b) combine signatures map-side (partial aggregation) so the shuffle
+    carries one row per doc, not one per shingle, and (c) cut the
+    signature lineage before the band self-join (OSS Spark plans BOTH
+    branches of a self-join — without the cut the signature aggregation
+    runs twice; with it the join scans one checkpointed RDD)."""
     from medacy_spark.operators.dedup import (
         minhash_lsh_candidates,
+        minhash_signature_table,
         ngram_jaccard_pairs,
+        simhash64_table,
         simhash_candidates,
     )
 
     d = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
     )
+    # (b): the signature tables themselves combine map-side
+    p_sig = minhash_signature_table(d)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in p_sig  # map-side combine of the signature mins
+    p_vote = simhash64_table(d)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in p_vote    # map-side combine of the bit votes
+
+    # (a) + (c) on the candidate joins, lineage cut in effect
     p_mh = minhash_lsh_candidates(d)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p_mh
-    assert "partial_min" in p_mh  # map-side combine of the signature mins
+    assert "ExistingRDD" in p_mh        # both sides scan the checkpoint
+    assert "partial_min" not in p_mh    # ...instead of re-aggregating
     p_sh = simhash_candidates(d)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p_sh
-    assert "partial_" in p_sh     # map-side combine of the bit votes
+    assert "ExistingRDD" in p_sh
+
+    # the uncut plan really does carry the aggregation on both branches —
+    # the measured fact the cut exists for
+    p_uncut = minhash_lsh_candidates(d, cut_lineage=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert p_uncut.count("partial_min") >= 2
+
     p_ja = ngram_jaccard_pairs(d)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p_ja
