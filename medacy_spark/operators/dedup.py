@@ -410,14 +410,23 @@ def ngram_jaccard_pairs(
     shingles are dropped from the INTERSECTION join (set sizes still count
     them, so the reported jaccard is a lower bound) and the number of
     dropped shingles is logged — never a silent cap. Default None = exact.
+
+    Set sizes come from F.size over the per-doc distinct-shingle array —
+    map-side column arithmetic, no aggregation exchange (the former
+    groupBy(id).count() shuffled every shingle a second time). The
+    exploded relation itself stays uncheckpointed: its lineage is
+    map-only (scan + explode), so the self-join's recompute is a second
+    pipelined pass, cheaper at scale than materializing a ~3×-text-size
+    shingle table the way the sketch signatures (one row per doc) are.
     """
     import logging
 
-    sh = df.select(
+    arr = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("shs"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sizes = arr.select("id", F.size("shs").alias("sz"))
+    sh = arr.select("id", F.explode("shs").alias("shingle"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         hot = dfreq.filter(F.col("df") > max_shingle_df)
