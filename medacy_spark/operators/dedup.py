@@ -339,11 +339,17 @@ def clean_corpus(
     if lang:
         out = out.filter(detect_language(F.col(text_col)) == lang)
     out = out.filter(quality_score(F.col(text_col)) >= min_quality)
-    # exact dedup: keep the smallest id per identical text
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.xxhash64(text_col)).orderBy(id_col)
-    out = out.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    # exact dedup: keep the smallest id per identical text. Shape matters
+    # at corpus scale: a Window.partitionBy(hash(text)) would shuffle FULL
+    # rows (text payload included) to co-locate each hash; the map-side-
+    # combined aggregate shuffles only (hash, id) pairs, and the survivor
+    # semi-join shuffles by the doc key — free on a bucket(id) source.
+    keep = (
+        out.select(F.col(id_col), F.xxhash64(text_col).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    out = out.join(keep.select(id_col), id_col, "left_semi")
     return dedup_corpus(out, text_col, id_col)
 
 
