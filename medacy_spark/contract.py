@@ -2297,6 +2297,35 @@ def q_r_lines(spark, sf):
     return triples_to_brat_lines(triples, mentions).orderBy("doc_id", "line")
 
 
+# ---- token counting: whitespace + BPE-ish subword proxy. The Spark
+# splitter uses lookarounds (letter↔digit boundaries, breaks around each
+# punct char) which RE2 can't express, but on underscore-free text the
+# piece set equals the matches of letter-runs | digit-runs | single punct
+# — so the oracle extracts pieces instead of splitting (both engines
+# filter to underscore-free docs; the testdata contains none, the filter
+# makes the equivalence airtight rather than data-dependent).
+
+
+@q("token_counts", """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\w\\s]'))
+            AS INT) AS n_bpe
+FROM documents WHERE NOT regexp_matches(text, '_')
+ORDER BY doc_id
+""")
+def q_token_counts(spark, sf):
+    from medacy_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    d = _docs(spark, sf).filter(~F.col("text").rlike("_"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_ws"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
