@@ -2326,6 +2326,53 @@ def q_token_counts(spark, sf):
     ).orderBy("doc_id")
 
 
+# ---- quality scoring (Gopher/C4-style arithmetic): the full per-doc
+# profile replayed in SQL — length score × stopword mass × punct density.
+
+
+@q("quality_profile", """
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         string_split(lower(text), ' ') AS words
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(words, x -> x IN ({stops})))
+                   AS DOUBLE) / len(words) END AS swr,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text,
+                   '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                   / length(text) END AS pr
+  FROM w)
+SELECT doc_id,
+       round(swr, 9) AS stopword_ratio,
+       round(pr, 9) AS punct_ratio,
+       round(
+         (least(n_tok / 50.0, 1.0)
+            * CASE WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END) * 0.4
+         + least(swr * 5.0, 1.0) * 0.4
+         + CASE WHEN pr > 0.2 THEN 0.2 ELSE 1.0 END * 0.2, 9) AS quality
+FROM r ORDER BY doc_id
+""".format(stops=_sql_list(lex.EN_STOPWORDS)))
+def q_quality_profile(spark, sf):
+    from medacy_spark.operators.textstats import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.round(stopword_ratio(t), 9).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 9).alias("punct_ratio"),
+        F.round(quality_score(t), 9).alias("quality"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
