@@ -2373,6 +2373,77 @@ def q_quality_profile(spark, sf):
     ).orderBy("doc_id")
 
 
+# ---- n-gram language ID: plant a per-language trigram-rich marker on a
+# 40-char slice of each doc (doc_id%5: one of 4 languages or nothing);
+# the detector must recover the plant. The oracle replays the full
+# trigram scoring — replace-trick occurrence counts × profile weights —
+# and the struct-max tie-break (largest language code on exact ties).
+
+
+_LANG_MARKERS = {
+    "en": " the thing and the other thing of it",
+    "de": " und der schein und die einigung sch",
+    "fr": " les enfants que les autres et les d",
+    "es": " de la canción que los niños de la q",
+}
+
+
+def _langid_sql() -> str:
+    from medacy_spark.operators.textstats import LANG_TRIGRAM_PROFILES
+
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"(length(s) - length(replace(s, '{g}', ''))) / {len(g)}.0 * {w}"
+            for g, w in LANG_TRIGRAM_PROFILES[lang].items()
+        )
+        return f"({terms}) * 100.0 / greatest(length(s), 1)"
+
+    markers = " ".join(
+        f"WHEN {i} THEN '{_LANG_MARKERS[lang]}'"
+        for i, lang in enumerate(["en", "de", "fr", "es"])
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(substr(text, 1, 40) ||
+               CASE CAST(doc_id % 5 AS INT) {markers} ELSE '' END) AS s
+  FROM documents),
+sc AS (
+  SELECT doc_id,
+         {score('en')} AS s_en, {score('de')} AS s_de,
+         {score('fr')} AS s_fr, {score('es')} AS s_es
+  FROM d),
+pick AS (
+  SELECT doc_id,
+         CASE
+           WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de' END AS best,
+         greatest(s_en, s_de, s_fr, s_es) AS bs
+  FROM sc)
+SELECT doc_id, CASE WHEN bs >= 2.0 THEN best ELSE 'unknown' END AS lang
+FROM pick ORDER BY doc_id
+"""
+
+
+@q("ngram_language_id", _langid_sql())
+def q_ngram_language_id(spark, sf):
+    from medacy_spark.operators.textstats import detect_language_ngram
+
+    marker = F.element_at(
+        F.array(*[F.lit(_LANG_MARKERS[lg]) for lg in ["en", "de", "fr", "es"]]
+                + [F.lit("")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    d = _docs(spark, sf).select(
+        "doc_id", F.concat(F.substring("text", 1, 40), marker).alias("text")
+    )
+    return d.select(
+        "doc_id", detect_language_ngram(F.col("text")).alias("lang")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

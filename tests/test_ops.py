@@ -324,3 +324,30 @@ def test_media_decoder_contract(spark, doc_ids):
 
     rows = extract_media_features(media, decoder=picky).collect()
     assert any(not r["ok"] for r in rows) and any(r["ok"] for r in rows)
+
+
+def test_ngram_language_id(spark):
+    """Character-trigram language ID (pure column arithmetic): recovers
+    en/de/fr/es on real sentences, 'unknown' on gibberish/empty."""
+    from medacy_spark.operators.textstats import detect_language_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and the cat "
+                "went to the market", "en"),
+            (2, "der schnelle braune fuchs springt und die katze ging ich "
+                "schon und der hund", "de"),
+            (3, "les enfants que nous avons vus dans le parc et les oiseaux "
+                "des arbres", "fr"),
+            (4, "de la casa que los niños vieron en el parque y la canción "
+                "de ayer", "es"),
+            (5, "zzz qqq xxx kkk vvv www", "unknown"),
+            (6, "", "unknown"),
+        ],
+        "doc_id long, text string, want string",
+    )
+    got = df.select("want", detect_language_ngram(F.col("text")).alias("lang"))
+    assert got.filter("want != lang").count() == 0
+    # plan stays UDF-free — column arithmetic only
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
