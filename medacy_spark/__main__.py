@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("train", "predict", "validate"):
         sp = sub.add_parser(name)
         sp.add_argument("-d", "--dataset", required=True, help="BRAT directory")
+        sp.add_argument("-c", "--custom-pipeline", default=None,
+                        help="JSON pipeline spec (tools/json_to_pipeline.py "
+                             "surface: learner/tokenizer/window_size/...)")
         sp.add_argument("--cores", type=int, default=None)
     sub.choices["train"].add_argument("-f", "--filename", required=True,
                                       help="model artifact output (.pkl)")
@@ -55,23 +58,34 @@ def main(argv: list[str] | None = None) -> int:
     from medacy_spark.model import Model
     from medacy_spark.session import get_spark
 
+    pipe = None
+    if args.custom_pipeline:
+        from medacy_spark.pipeline import json_to_pipeline
+
+        pipe = json_to_pipeline(args.custom_pipeline)
+
     spark = get_spark(app_name=f"medacy_spark_{args.cmd}", cores=args.cores)
+
+    def make_model():
+        return pipe.make_model(spark) if pipe else Model(spark)
+
     try:
         if args.cmd == "train":
             docs, gold = _dataset(spark, args.dataset)
-            Model(spark).fit(docs, gold).save(args.filename)
+            make_model().fit(docs, gold).save(args.filename)
             print(f"model written to {args.filename}")
         elif args.cmd == "predict":
             from medacy_spark.sources.corpus import write_brat_dir
 
             docs, _ = _dataset(spark, args.dataset)
-            mentions = Model.load(spark, args.model).predict(docs)
+            tok = pipe.tokenize if pipe else None
+            mentions = Model.load(spark, args.model, tokenizer=tok).predict(docs)
             write_brat_dir(mentions, args.output)
             n = mentions.select("doc_id").distinct().count()
             print(f"{n} .ann files written to {args.output}")
         else:  # validate
             docs, gold = _dataset(spark, args.dataset)
-            rows = Model(spark).cross_validate(docs, gold, args.folds).collect()
+            rows = make_model().cross_validate(docs, gold, args.folds).collect()
             cols = ("label", "avg_precision", "avg_recall", "avg_f1",
                     "min_f1", "max_f1")
             print(",".join(cols))

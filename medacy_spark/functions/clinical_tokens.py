@@ -242,6 +242,45 @@ INFIX_RE = re.compile("|".join(_SPACY_INFIXES + _CUSTOM_INFIXES))
 SUFFIX_RE = re.compile(r'''[\]\)"',.x\-%\?\\n]|\*|(mg$)|(mcg$)|(mL$)|(cap$)|(-+$)$''')
 
 
+class TokenizerRules:
+    """A compiled spaCy-2.2 rule surface: the reference ships three
+    tokenizers (clinical / systematic_review / character) that differ ONLY
+    in these regexes (pipeline_components/tokenizers/*.py) — the algorithm
+    is identical, so one engine serves all of them."""
+
+    __slots__ = ("prefix_re", "infix_re", "suffix_re")
+
+    def __init__(self, prefix_re: re.Pattern, infix_re: re.Pattern, suffix_re: re.Pattern):
+        self.prefix_re = prefix_re
+        self.infix_re = infix_re
+        self.suffix_re = suffix_re
+
+
+# clinical_tokenizer.py:34-59 (the default rule set of this module)
+CLINICAL_RULES = TokenizerRules(PREFIX_RE, INFIX_RE, SUFFIX_RE)
+
+# systematic_review_tokenizer.py:40,48,57 — same custom prefix; infix set
+# uses the literal two-char '\[\]' (vs clinical's '\[') and keeps the
+# /-> accidental range; the suffix regex is fully $-ANCHORED (this
+# tokenizer does NOT have the clinical unanchored-suffix bug) and strips
+# a trailing '.' instead of newline/x-anywhere.
+SYSTEMATIC_REVIEW_RULES = TokenizerRules(
+    PREFIX_RE,
+    re.compile("|".join(_SPACY_INFIXES + [r"\[\]", r"(?<=[0-9])-(?=[0-9])", r"[!&:,()\*/-><]"])),
+    re.compile(r'''[\]\)"',x\-%\?]$|(mg$)|(mcg$)|(mL$)|(cap$)|(\.$)'''),
+)
+
+# character_tokenizer.py:40,48,57 — '.' added to prefixes/infixes and as
+# the whole suffix regex: every character strips, so tokens are single
+# chars — EXCEPT whole-chunk exception matches ("Dr." stays one token),
+# which the reference inherits from the shared exception table too.
+CHARACTER_RULES = TokenizerRules(
+    re.compile("|".join("^" + p for p in _SPACY_PREFIXES + ["."])),
+    re.compile("|".join(_SPACY_INFIXES + ["."])),
+    re.compile(r"."),
+)
+
+
 def _find_len(regex: re.Pattern, s: str) -> int:
     """spaCy find_prefix/find_suffix: length of the first .search match."""
     m = regex.search(s)
@@ -249,7 +288,7 @@ def _find_len(regex: re.Pattern, s: str) -> int:
 
 
 def _split_affixes(
-    chunk: str, exceptions: dict[str, list[str]]
+    chunk: str, exceptions: dict[str, list[str]], rules: TokenizerRules
 ) -> tuple[list[tuple[int, int]], tuple[int, int], list[tuple[int, int]]]:
     """tokenizer.pyx _split_affixes over chunk-relative spans.
 
@@ -266,14 +305,14 @@ def _split_affixes(
         if sub in exceptions:
             break
         last_size = len(sub)
-        pre_len = _find_len(PREFIX_RE, sub)
+        pre_len = _find_len(rules.prefix_re, sub)
         if pre_len:
             minus_pre = sub[pre_len:]
             if minus_pre and minus_pre in exceptions:
                 prefixes.append((left, left + pre_len))
                 left += pre_len
                 break
-        suf_len = _find_len(SUFFIX_RE, sub)
+        suf_len = _find_len(rules.suffix_re, sub)
         if suf_len:
             minus_suf = sub[: len(sub) - suf_len]
             if minus_suf and minus_suf in exceptions:
@@ -301,6 +340,7 @@ def _attach_tokens(
     middle: tuple[int, int],
     exceptions: dict[str, list[str]],
     out: list[tuple[int, int]],
+    rules: TokenizerRules,
 ) -> None:
     """tokenizer.pyx _attach_tokens: expand exceptions, else infix-split.
 
@@ -317,7 +357,7 @@ def _attach_tokens(
             out.append((off, off + len(piece)))
             off += len(piece)
         return
-    matches = list(INFIX_RE.finditer(sub))
+    matches = list(rules.infix_re.finditer(sub))
     if not matches:
         out.append((lo, hi))
         return
@@ -337,7 +377,7 @@ def _attach_tokens(
 
 def _tokenize_chunk(
     text: str, lo: int, hi: int, exceptions: dict[str, list[str]],
-    out: list[tuple[int, int]],
+    out: list[tuple[int, int]], rules: TokenizerRules,
 ) -> None:
     chunk = text[lo:hi]
     if chunk in exceptions:
@@ -346,19 +386,21 @@ def _tokenize_chunk(
             out.append((off, off + len(piece)))
             off += len(piece)
         return
-    prefixes, middle, suffixes = _split_affixes(chunk, exceptions)
+    prefixes, middle, suffixes = _split_affixes(chunk, exceptions, rules)
     spans: list[tuple[int, int]] = []
     for s, e in prefixes:
         spans.append((s, e))
     mid_tokens: list[tuple[int, int]] = []
-    _attach_tokens(chunk, middle, exceptions, mid_tokens)
+    _attach_tokens(chunk, middle, exceptions, mid_tokens, rules)
     spans.extend(mid_tokens)
     spans.extend(reversed(suffixes))
     out.extend((lo + s, lo + e) for s, e in spans)
 
 
 def tokenize_with_offsets(
-    text: str, exceptions: dict[str, list[str]] | None = None
+    text: str,
+    exceptions: dict[str, list[str]] | None = None,
+    rules: TokenizerRules | None = None,
 ) -> list[tuple[int, int, str]]:
     """Full document → [(idx, end_idx, word)] with the reference rules.
 
@@ -375,6 +417,8 @@ def tokenize_with_offsets(
     """
     if exceptions is None:
         exceptions = DEFAULT_EXCEPTIONS
+    if rules is None:
+        rules = CLINICAL_RULES
     spans: list[tuple[int, int]] = []
     n = len(text)
     if n == 0:
@@ -389,7 +433,7 @@ def tokenize_with_offsets(
                     # pure whitespace, so it is one token (as in spaCy)
                     spans.append((start, i))
                 else:
-                    _tokenize_chunk(text, start, i, exceptions, spans)
+                    _tokenize_chunk(text, start, i, exceptions, spans, rules)
             if uc == " ":
                 start = i + 1
             else:
@@ -399,5 +443,5 @@ def tokenize_with_offsets(
         if in_ws:
             spans.append((start, n))
         else:
-            _tokenize_chunk(text, start, n, exceptions, spans)
+            _tokenize_chunk(text, start, n, exceptions, spans, rules)
     return [(s, e, text[s:e]) for s, e in spans]

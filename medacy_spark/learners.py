@@ -131,17 +131,29 @@ class PerceptronLearner:
         self,
         examples: Iterable[tuple[Sequence[str], Sequence[str]]],
         epochs: int | None = None,
+        labels: Sequence[str] | None = None,
+        init: dict[tuple[str, int], float] | None = None,
+        average: bool = True,
     ) -> "PerceptronLearner":
         """Collins-style structured perceptron: Viterbi-decode the whole
         sentence under current weights, then update emission AND transition
         features along the gold path (+1) and the predicted path (−1)
-        wherever they differ; running-average trick (final = w − u/t)."""
+        wherever they differ; running-average trick (final = w − u/t).
+
+        ``labels`` fixes the decode label set (the distributed fit passes
+        the GLOBAL set so every shard decodes over the same classes);
+        ``init`` warm-starts the weights and ``average=False`` returns the
+        raw end-state — the pieces iterative parameter mixing needs.
+        """
         examples = list(examples)
-        label_set = {"O"}
-        for _, labels in examples:
-            label_set.update(labels)
-        self.labels = sorted(label_set)
-        w: dict[tuple[str, int], float] = defaultdict(float)
+        if labels is None:
+            label_set = {"O"}
+            for _, ls in examples:
+                label_set.update(ls)
+            self.labels = sorted(label_set)
+        else:
+            self.labels = sorted(set(labels) | {"O"})
+        w: dict[tuple[str, int], float] = defaultdict(float, init or {})
         u: dict[tuple[str, int], float] = defaultdict(float)
         t = 1
         self.weights = w
@@ -166,19 +178,30 @@ class PerceptronLearner:
                             u[(y, _trans_feat(pp))] -= t
                         gp, pp = g, y
                 t += 1
-        self.weights = {
-            k: v - u[k] / t for k, v in w.items() if v - u[k] / t != 0.0
-        }
+        if average:
+            self.weights = {
+                k: v - u[k] / t for k, v in w.items() if v - u[k] / t != 0.0
+            }
+        else:
+            self.weights = {k: v for k, v in w.items() if v != 0.0}
         return self
 
     # --------------------------------------------------- distributed fit
 
-    def fit_sharded(self, sentence_df, n_shards: int = 32) -> "PerceptronLearner":
-        """Parameter-mixing fit: shard sentences deterministically by doc
-        key, train one local averaged perceptron per shard inside an Arrow
-        batch (applyInPandas — never row-level Python), and average the
-        sparse weight dicts on the driver. Only n_shards weight dicts are
-        collected — model-scale, not corpus-scale.
+    def fit_sharded(
+        self, sentence_df, n_shards: int = 32, mix_rounds: int = 3
+    ) -> "PerceptronLearner":
+        """ITERATIVE parameter mixing (McDonald, Hall & Mann, NAACL 2010):
+        shard sentences deterministically by doc key; each round, every
+        shard trains a local perceptron inside an Arrow batch
+        (applyInPandas — never row-level Python) STARTING FROM the
+        previous round's mixed weights, over the GLOBAL label set; the
+        driver averages the sparse weight dicts. One-shot mixing washes
+        out when shards are few/heterogeneous (measured: 7 vs 82 non-O
+        predictions on the reference corpus); re-seeding each round makes
+        the shards converge on a shared model. Only n_shards weight dicts
+        per round reach the driver — model-scale, not corpus-scale; the
+        final round trains with averaging on.
 
         sentence_df columns: doc_id (any orderable), sent_id int,
         words array<string>, labels array<string>.
@@ -193,30 +216,46 @@ class PerceptronLearner:
             F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
             .cast("int").alias("shard"),
             "doc_id", "sent_id", "words", "labels",
+        ).localCheckpoint(eager=False)  # rounds re-read it; cut the upstream
+
+        global_labels = sorted(
+            {"O"}
+            | {r["l"] for r in
+               sentence_df.select(F.explode("labels").alias("l")).distinct().collect()}
         )
 
-        def train(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["doc_id", "sent_id"])  # deterministic order
-            local = PerceptronLearner(epochs, window)
-            local.fit(list(zip(pdf["words"], pdf["labels"])))
-            return pd.DataFrame({
-                "shard": [int(pdf["shard"].iloc[0])],
-                "blob": [pickle.dumps((local.labels, local.weights))],
-            })
+        def make_train(init_blob: bytes, avg: bool):
+            def train(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["doc_id", "sent_id"])  # deterministic
+                local = PerceptronLearner(epochs, window)
+                local.fit(
+                    list(zip(pdf["words"], pdf["labels"])),
+                    labels=global_labels,
+                    init=pickle.loads(init_blob),
+                    average=avg,
+                )
+                return pd.DataFrame({
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "blob": [pickle.dumps(local.weights)],
+                })
+            return train
 
-        rows = (
-            sh.groupBy("shard")
-            .applyInPandas(train, "shard int, blob binary")
-            .collect()
-        )
-        merged: dict[tuple[str, int], float] = defaultdict(float)
-        label_set = {"O"}
-        n = max(len(rows), 1)
-        for r in sorted(rows, key=lambda r: r["shard"]):
-            labels, weights = pickle.loads(bytes(r["blob"]))
-            label_set.update(labels)
-            for k, v in weights.items():
-                merged[k] += v / n
-        self.labels = sorted(label_set)
-        self.weights = dict(merged)
+        mixed: dict[tuple[str, int], float] = {}
+        for rnd in range(mix_rounds):
+            rows = (
+                sh.groupBy("shard")
+                .applyInPandas(
+                    make_train(pickle.dumps(mixed), rnd == mix_rounds - 1),
+                    "shard int, blob binary",
+                )
+                .collect()
+            )
+            merged: dict[tuple[str, int], float] = defaultdict(float)
+            n = max(len(rows), 1)
+            for r in sorted(rows, key=lambda r: r["shard"]):
+                for k, v in pickle.loads(bytes(r["blob"])).items():
+                    merged[k] += v / n
+            mixed = dict(merged)
+        self.labels = global_labels
+        self.weights = mixed
         return self

@@ -68,17 +68,35 @@ class FrequencyLearner:
 
 
 class Model:
-    """fit/predict/cross_validate over (documents, gold_mentions) tables."""
+    """fit/predict/cross_validate over (documents, gold_mentions) tables.
 
-    def __init__(self, spark: SparkSession, learner: FrequencyLearner | None = None):
+    ``tokenizer`` is any (documents -> tokens) stage with the TOKEN_SCHEMA
+    contract — the default is the single-space native fast path; a
+    pipeline spec (pipeline.json_to_pipeline) supplies the reference's
+    clinical / systematic_review / character tokenizers instead. The
+    artifact (save/load) is the learner alone, like the reference's
+    pickled model: the pipeline is given per run.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        learner: FrequencyLearner | None = None,
+        tokenizer=None,
+    ):
         self.spark = spark
         self.learner = learner or FrequencyLearner()
+        self.tokenizer = tokenizer or tokenize_native
+        # sequence-learner fit dispatch: corpora at or below this many
+        # sentences collect to the driver (the reference's own training
+        # shape); larger ones use sharded iterative parameter mixing
+        self.driver_fit_max_sentences = 50_000
         self._bc = None
 
     # ------------------------------------------------------------------ fit
 
     def fit(self, documents: DataFrame, gold_mentions: DataFrame) -> "Model":
-        toks = tokenize_native(documents.select("doc_id", "text"))
+        toks = self.tokenizer(documents.select("doc_id", "text"))
         labeled = gold_overlay(toks, gold_mentions)
         if hasattr(self.learner, "fit_table"):
             # distributed statistics; only the vocab-scale table is collected
@@ -94,10 +112,12 @@ class Model:
             table = {r["w"]: r["gold_label"] for r in top.collect()}
             self.learner.fit_table(table)
         else:
-            # sequence learners (learners.PerceptronLearner): parameter-
-            # mixing fit — per-shard training inside Arrow batches, only
-            # n_shards sparse weight dicts reach the driver (X3 analogue
-            # of the reference's driver-side learner.fit)
+            # sequence learners (learners.PerceptronLearner): below the
+            # threshold, collect and fit driver-side — exactly the
+            # reference's X3 shape (training is never distributed there)
+            # and the best-quality fit on directory-scale corpora; above
+            # it, iterative parameter mixing inside Arrow batches, where
+            # only n_shards sparse weight dicts per round reach the driver
             sent_df = labeled.groupBy("doc_id", "sent_id").agg(
                 F.array_sort(
                     F.collect_list(F.struct("tok_id", "word", "gold_label"))
@@ -107,7 +127,12 @@ class Model:
                 F.transform("a", lambda x: x["word"]).alias("words"),
                 F.transform("a", lambda x: x["gold_label"]).alias("labels"),
             )
-            self.learner.fit_sharded(sent_df)
+            n_sents = sent_df.count()
+            if n_sents <= self.driver_fit_max_sentences:
+                rows = sent_df.orderBy("doc_id", "sent_id").collect()
+                self.learner.fit([(list(r["words"]), list(r["labels"])) for r in rows])
+            else:
+                self.learner.fit_sharded(sent_df)
         self._bc = self.spark.sparkContext.broadcast(self.learner)
         return self
 
@@ -122,13 +147,13 @@ class Model:
             pickle.dump(self.learner, f)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "Model":
+    def load(cls, spark: SparkSession, path: str, tokenizer=None) -> "Model":
         """S7: artifact load + broadcast to executors."""
         import pickle
 
         with open(path, "rb") as f:
             learner = pickle.load(f)
-        m = cls(spark, learner)
+        m = cls(spark, learner, tokenizer)
         m._bc = spark.sparkContext.broadcast(learner)
         return m
 
@@ -138,7 +163,7 @@ class Model:
         """-> mentions(doc_id, sent_id, tag, start, end, text)."""
         if self._bc is None:
             raise RuntimeError("fit() (or load()) must run before predict()")
-        toks = tokenize_native(documents.select("doc_id", "text"))
+        toks = self.tokenizer(documents.select("doc_id", "text"))
         return model_mentions(toks, self._bc)
 
     # ------------------------------------------------------- cross_validate
@@ -153,7 +178,7 @@ class Model:
             raise ValueError(f"'num_folds' must be an int >= 2, but is {num_folds!r}")
         from medacy_spark.operators.folds import assign_folds
 
-        toks = tokenize_native(documents.select("doc_id", "text"))
+        toks = self.tokenizer(documents.select("doc_id", "text"))
         labeled = gold_overlay(toks, gold_mentions)
         seqs = (
             labeled.groupBy("doc_id")
@@ -169,7 +194,8 @@ class Model:
             train_gold = gold_f.filter(F.col("fold") != k).drop("fold")
             test_docs = docs_f.filter(F.col("fold") == k).drop("fold")
             test_gold = gold_f.filter(F.col("fold") == k).drop("fold")
-            m = Model(self.spark, self.learner.fresh()).fit(train_docs, train_gold)
+            m = Model(self.spark, self.learner.fresh(), self.tokenizer).fit(
+                train_docs, train_gold)
             pred = m.predict(test_docs)
             scored = with_prf(measures(test_gold, pred, mode="strict"))
             per_fold.append(scored.withColumn("fold", F.lit(k)))

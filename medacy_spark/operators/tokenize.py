@@ -120,6 +120,7 @@ def tokenize_clinical(
     documents: DataFrame,
     id_col: str = "doc_id",
     exceptions: dict[str, list[str]] | None = None,
+    rules=None,
 ) -> DataFrame:
     """X1/F4: the REFERENCE clinical tokenizer (clinical_tokenizer.py:34-59)
     as an Arrow-batched mapInPandas stage — same output relation as
@@ -142,7 +143,10 @@ def tokenize_clinical(
         tokenize_with_offsets,
     )
 
-    schema = TOKEN_SCHEMA.replace("doc_id long", f"{id_col} long")
+    # id passes through untouched — derive its type from the input so
+    # string ids (BRAT file basenames) work like numeric ones
+    id_type = documents.schema[id_col].dataType.simpleString()
+    schema = TOKEN_SCHEMA.replace("doc_id long", f"{id_col} {id_type}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,7 +155,7 @@ def tokenize_clinical(
                 "end_idx": [], "word": [],
             }
             for did, text in zip(pdf[id_col], pdf["text"]):
-                toks = tokenize_with_offsets(text, exceptions)
+                toks = tokenize_with_offsets(text, exceptions, rules)
                 starts = sentence_starts([w for _, _, w in toks])
                 sent = -1
                 tok = 0
@@ -170,3 +174,32 @@ def tokenize_clinical(
             yield pd.DataFrame(out)
 
     return documents.select(id_col, "text").mapInPandas(run, schema=schema)
+
+
+def tokenize_systematic_review(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    exceptions: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """The reference's SystematicReviewTokenizer rule surface
+    (systematic_review_tokenizer.py:40,48,57) on the same engine: its
+    suffix regex is fully anchored (no unanchored-suffix shredding) and
+    strips a trailing '.', while the /->-range infix behavior is shared
+    with the clinical rules."""
+    from medacy_spark.functions.clinical_tokens import SYSTEMATIC_REVIEW_RULES
+
+    return tokenize_clinical(documents, id_col, exceptions, SYSTEMATIC_REVIEW_RULES)
+
+
+def tokenize_character(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    exceptions: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """The reference's CharacterTokenizer (character_tokenizer.py:40,48,57):
+    '.' in every rule slot — single-character tokens, except whole-chunk
+    exception matches ('Dr.' stays one token), exactly as the reference
+    inherits from the shared exception table."""
+    from medacy_spark.functions.clinical_tokens import CHARACTER_RULES
+
+    return tokenize_clinical(documents, id_col, exceptions, CHARACTER_RULES)

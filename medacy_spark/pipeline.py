@@ -1,0 +1,153 @@
+"""JSON-spec pipeline compiler — the reference's custom-pipeline surface.
+
+The reference builds user pipelines from a JSON spec
+(tools/json_to_pipeline.py:26-144): required keys ``learner`` and
+``spacy_pipeline``; optional ``tokenizer`` ('clinical' /
+'systematic_review' / 'character'), ``window_size``, ``spacy_features``,
+``metamap`` (+ mandatory ``semantic_types``: 'all' | 'none' | list) and
+an ``entities`` list validated against the dataset (P8). This module
+compiles the same spec into the Spark operators:
+
+  tokenizer        → operators.tokenize.tokenize_{clinical,systematic_
+                     review,character}; default = the single-space native
+                     fast path (the spec's spaCy-model-default analogue)
+  window_size /
+  spacy_features   → features.extract_feature_tuples configuration
+  metamap +
+  semantic_types   → linking.cui_overlay include list ('none' → [] like
+                     MetaMapOverlayer(semantic_type_labels=[]))
+  learner          → 'CRF' → learners.PerceptronLearner (the documented
+                     feature-based sequence-model stand-in; torch /
+                     sklearn_crfsuite are not in this container, so
+                     'BiLSTM' and 'BERT' raise NotImplementedError
+                     exactly where the reference would construct them);
+                     'frequency' / 'perceptron' name our learners
+                     directly.
+
+Validation errors mirror the reference's messages (missing required
+keys, unknown tokenizer, semantic_types required/invalid).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+REQUIRED_KEYS = ["learner", "spacy_pipeline"]
+TOKENIZERS = ("clinical", "systematic_review", "character")
+
+
+class SparkPipeline:
+    """A compiled pipeline: tokenize → (overlay) → featurize → model."""
+
+    def __init__(self, spec: dict, entities: Sequence[str] = ()):
+        self.spec = spec
+        self.entities = list(entities)
+        self.window_size = int(spec.get("window_size", 0))
+        self.feature_cols = tuple(
+            spec.get("spacy_features",
+                     ["word", "lower_", "prefix_", "suffix_", "shape_", "like_num"])
+        )
+        self.tokenizer = spec.get("tokenizer")
+        self.semantic_types = spec.get("semantic_types")
+
+    # ------------------------------------------------------------ stages
+
+    def tokenize(self, documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        from medacy_spark.operators import tokenize as tk
+
+        if self.tokenizer is None:
+            return tk.tokenize_native(documents, id_col)
+        fn = {
+            "clinical": tk.tokenize_clinical,
+            "systematic_review": tk.tokenize_systematic_review,
+            "character": tk.tokenize_character,
+        }[self.tokenizer]
+        return fn(documents, id_col)
+
+    def overlay_cuis(
+        self, tokens: DataFrame, candidates: DataFrame, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """MetaMap-shaped overlay per the spec's semantic_types: 'all' →
+        no filter, 'none' → empty include list (label nothing beyond the
+        CUI), list → include those types (metamap_component.py:94-136)."""
+        from medacy_spark.operators.linking import cui_overlay
+
+        st = self.semantic_types
+        include = () if st in ("all", None) else ([] if st == "none" else tuple(st))
+        return cui_overlay(tokens, candidates, id_col, include_sem_types=include)
+
+    def featurize(self, tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        from medacy_spark.operators.features import extract_feature_tuples
+
+        return extract_feature_tuples(
+            tokens, window_size=self.window_size,
+            feature_cols=self.feature_cols, id_col=id_col,
+        )
+
+    def make_learner(self):
+        from medacy_spark.learners import PerceptronLearner
+        from medacy_spark.model import FrequencyLearner
+
+        sel = self.spec["learner"]
+        if sel in ("CRF", "perceptron"):
+            return PerceptronLearner(window=max(self.window_size, 2))
+        if sel == "frequency":
+            return FrequencyLearner()
+        if sel in ("BiLSTM", "BERT"):
+            raise NotImplementedError(
+                f"'{sel}' requires torch, which is not in this container; "
+                "'CRF' maps to the averaged structured perceptron"
+            )
+        raise ValueError(
+            f"'learner' must be 'CRF', 'BiLSTM', or 'BERT', but is {sel}"
+        )
+
+    def make_model(self, spark: SparkSession):
+        from medacy_spark.model import Model
+
+        return Model(spark, self.make_learner(), tokenizer=self.tokenize)
+
+    def validate_entities(self, gold_mentions: DataFrame) -> None:
+        """P8: the configured entity list must be present in the data."""
+        from medacy_spark.operators.misc import validate_entity_list
+
+        if self.entities:
+            validate_entity_list(self.entities, gold_mentions)
+
+
+def json_to_pipeline(spec_or_path, entities: Sequence[str] = ()) -> SparkPipeline:
+    """Compile a reference-shaped JSON spec (path or dict) to a
+    SparkPipeline, with the reference's validation behavior
+    (json_to_pipeline.py:53-58, 65-79, 98-106)."""
+    if isinstance(spec_or_path, (str, os.PathLike)):
+        with open(spec_or_path, "rb") as f:
+            spec = json.load(f)
+    elif isinstance(spec_or_path, dict):
+        spec = spec_or_path
+    else:
+        raise TypeError("spec_or_path must be a path or a dict")
+
+    missing = [k for k in REQUIRED_KEYS if k not in spec]
+    if missing:
+        raise ValueError(
+            f"Required key(s) '{missing}' was/were not found in the json file."
+        )
+    if "tokenizer" in spec and spec["tokenizer"] not in TOKENIZERS:
+        raise ValueError(
+            f"Tokenizer selection '{spec['tokenizer']}' not an option"
+        )
+    if "metamap" in spec:
+        if "semantic_types" not in spec:
+            raise ValueError(
+                "'semantic_types' must be a key when 'metamap' is a key."
+            )
+        st = spec["semantic_types"]
+        if st not in ("all", "none") and not isinstance(st, list):
+            raise ValueError(
+                "'semantic_types' must be 'all', 'none', or a list of strings"
+            )
+    return SparkPipeline(spec, entities)

@@ -58,6 +58,24 @@ def test_perceptron_fit_deterministic(spark, ambiguous_corpus):
     assert a.weights == b.weights
 
 
+def test_perceptron_sharded_ipm_path(spark, ambiguous_corpus):
+    """The scale path: iterative parameter mixing (force it by zeroing the
+    driver-fit threshold) must learn the context rule too, and be
+    deterministic across fits."""
+    docs, gold = ambiguous_corpus
+
+    def fit_ipm():
+        m = Model(spark, PerceptronLearner(epochs=3))
+        m.driver_fit_max_sentences = 0
+        return m.fit(docs, gold)
+
+    m = fit_ipm()
+    f = _strict_f1(gold, m.predict(docs))
+    assert f["Drug"] == 1.0 and f["ADE"] == 1.0
+    m2 = fit_ipm()
+    assert m.learner.weights == m2.learner.weights
+
+
 def test_perceptron_save_load_broadcast(spark, ambiguous_corpus, tmp_path):
     docs, gold = ambiguous_corpus
     m = Model(spark, PerceptronLearner(epochs=3)).fit(docs, gold)

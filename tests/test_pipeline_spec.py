@@ -1,0 +1,109 @@
+"""json_to_pipeline (reference tools/json_to_pipeline.py surface) + the
+systematic-review / character tokenizer rule sets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medacy_spark.pipeline import json_to_pipeline
+
+
+def test_spec_validation_matches_reference():
+    with pytest.raises(ValueError, match="Required key"):
+        json_to_pipeline({"learner": "CRF"})
+    with pytest.raises(ValueError, match="not an option"):
+        json_to_pipeline(
+            {"learner": "CRF", "spacy_pipeline": "en", "tokenizer": "nope"}
+        )
+    with pytest.raises(ValueError, match="semantic_types.*must be a key"):
+        json_to_pipeline(
+            {"learner": "CRF", "spacy_pipeline": "en", "metamap": "/bin/mm"}
+        )
+    with pytest.raises(ValueError, match="'all', 'none', or a list"):
+        json_to_pipeline(
+            {"learner": "CRF", "spacy_pipeline": "en", "metamap": "/bin/mm",
+             "semantic_types": 7}
+        )
+    with pytest.raises(ValueError, match="must be 'CRF'"):
+        json_to_pipeline({"learner": "SVM", "spacy_pipeline": "en"}).make_learner()
+    with pytest.raises(NotImplementedError, match="torch"):
+        json_to_pipeline({"learner": "BERT", "spacy_pipeline": "en"}).make_learner()
+
+
+def test_spec_json_file_roundtrip(tmp_path):
+    import json
+
+    p = tmp_path / "pipe.json"
+    p.write_text(json.dumps({
+        "learner": "CRF", "spacy_pipeline": "en_core_web_sm",
+        "tokenizer": "systematic_review", "window_size": 2,
+    }))
+    pipe = json_to_pipeline(str(p))
+    assert pipe.tokenizer == "systematic_review"
+    assert pipe.window_size == 2
+    from medacy_spark.learners import PerceptronLearner
+
+    assert isinstance(pipe.make_learner(), PerceptronLearner)
+
+
+def test_tokenizer_selection_rule_surfaces(spark):
+    """The three reference tokenizers on one engine: SR has no
+    unanchored-suffix bug and strips trailing '.'; character emits
+    single chars except exception chunks."""
+    docs = spark.createDataFrame(
+        [(0, "aspirin taken daily.")], "doc_id long, text string"
+    )
+    words = lambda pipe: [
+        r["word"] for r in pipe.tokenize(docs).orderBy("pos").collect()
+    ]
+    base = {"learner": "CRF", "spacy_pipeline": "en"}
+    sr = json_to_pipeline({**base, "tokenizer": "systematic_review"})
+    assert words(sr) == ["aspirin", "taken", "daily", "."]
+    cl = json_to_pipeline({**base, "tokenizer": "clinical"})
+    assert words(cl)[:2] == ["aspiri", "n"]  # the replicated reference bug
+    ch = json_to_pipeline({**base, "tokenizer": "character"})
+    w = words(ch)
+    assert w[:3] == ["a", "s", "p"] and all(len(x) == 1 for x in w)
+
+    drdocs = spark.createDataFrame([(0, "Dr. told")], "doc_id long, text string")
+    assert "Dr." in [
+        r["word"] for r in json_to_pipeline(
+            {**base, "tokenizer": "character"}
+        ).tokenize(drdocs).collect()
+    ]
+
+
+def test_spec_pipeline_end_to_end(spark):
+    """Spec → tokenizer + learner → fit/predict through the Model facade:
+    the ambiguous-surface corpus (test_learners.TEXT) is solved by the
+    spec-selected CRF→perceptron learner."""
+    from tests.test_learners import GOLD, TEXT
+
+    docs = spark.createDataFrame(
+        [(i, TEXT) for i in range(20)], "doc_id long, text string"
+    )
+    gold = spark.createDataFrame(
+        [(i, t, s, e, "x") for i in range(20) for t, s, e in GOLD],
+        "doc_id long, tag string, start long, end long, text string",
+    )
+    pipe = json_to_pipeline(
+        {"learner": "CRF", "spacy_pipeline": "en", "window_size": 2},
+        entities=["Drug", "ADE"],
+    )
+    pipe.validate_entities(gold)
+    with pytest.raises(ValueError, match="not present"):
+        json_to_pipeline(
+            {"learner": "CRF", "spacy_pipeline": "en"}, entities=["Dose"]
+        ).validate_entities(gold)
+    m = pipe.make_model(spark).fit(docs, gold)
+    pred = m.predict(docs)
+    got = {(r["doc_id"], r["tag"], r["start"], r["end"])
+           for r in pred.collect()}
+    want = {(i, t, s, e) for i in range(20) for t, s, e in GOLD}
+    assert got == want
+
+    # featurize honors the spec's window size
+    toks = pipe.tokenize(docs)
+    ft = pipe.featurize(toks).first()
+    assert any(k.startswith("2:") for k in ft["features"][0].keys())
