@@ -1453,7 +1453,8 @@ _TOKEN_FIXTURE = os.path.abspath(os.path.join(
 WITH sig AS (
   SELECT count(*) AS n, sum(doc_id * length(text)) AS s
   FROM documents WHERE doc_id < 50)
-SELECT f.doc_id, CAST(f.pos AS INT) AS pos, f.idx, f.end_idx, f.word
+SELECT f.doc_id, CAST(f.pos AS INT) AS pos, CAST(f.sent_id AS INT) AS sent_id,
+       CAST(f.tok_id AS INT) AS tok_id, f.idx, f.end_idx, f.word
 FROM read_parquet('{_TOKEN_FIXTURE}') f, sig
 WHERE f.sig_n = sig.n AND f.sig_s = sig.s
 ORDER BY f.doc_id, f.pos
@@ -1462,7 +1463,7 @@ def q_clinical_rule_tokens(spark, sf):
     from medacy_spark.operators.tokenize import tokenize_clinical
     d = _docs(spark, sf).select("doc_id", "text").filter(F.col("doc_id") < 50)
     return tokenize_clinical(d).select(
-        "doc_id", "pos", "idx", "end_idx", "word"
+        "doc_id", "pos", "sent_id", "tok_id", "idx", "end_idx", "word"
     ).orderBy("doc_id", "pos")
 
 

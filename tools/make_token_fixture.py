@@ -24,7 +24,7 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from medacy_spark.functions.clinical_tokens import tokenize_with_offsets
+from medacy_spark.functions.clinical_tokens import sentence_starts, tokenize_with_offsets
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
@@ -34,8 +34,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
 def main() -> None:
     con = duckdb.connect()
     cols: dict[str, list] = {
-        "sig_n": [], "sig_s": [], "doc_id": [], "pos": [],
-        "idx": [], "end_idx": [], "word": [],
+        "sig_n": [], "sig_s": [], "doc_id": [], "pos": [], "sent_id": [],
+        "tok_id": [], "idx": [], "end_idx": [], "word": [],
     }
     for d in SF_DIRS:
         rows = con.execute(
@@ -46,14 +46,23 @@ def main() -> None:
             [f"{d}/documents.parquet"] * 3,
         ).fetchall()
         for doc_id, text, sig_n, sig_s in rows:
-            for pos, (s, e, w) in enumerate(tokenize_with_offsets(text)):
+            toks = tokenize_with_offsets(text)
+            starts = sentence_starts([w for _, _, w in toks])
+            sent, tok = -1, 0
+            for pos, (s, e, w) in enumerate(toks):
+                if starts[pos]:
+                    sent += 1
+                    tok = 0
                 cols["sig_n"].append(sig_n)
                 cols["sig_s"].append(sig_s)
                 cols["doc_id"].append(doc_id)
                 cols["pos"].append(pos)
+                cols["sent_id"].append(sent)
+                cols["tok_id"].append(tok)
                 cols["idx"].append(s)
                 cols["end_idx"].append(e)
                 cols["word"].append(w)
+                tok += 1
         if not rows:
             print(f"{d}: no documents with doc_id < 50 — skipped")
             continue
@@ -63,6 +72,8 @@ def main() -> None:
         "sig_s": pa.array(cols["sig_s"], pa.int64()),
         "doc_id": pa.array(cols["doc_id"], pa.int64()),
         "pos": pa.array(cols["pos"], pa.int32()),
+        "sent_id": pa.array(cols["sent_id"], pa.int32()),
+        "tok_id": pa.array(cols["tok_id"], pa.int32()),
         "idx": pa.array(cols["idx"], pa.int64()),
         "end_idx": pa.array(cols["end_idx"], pa.int64()),
         "word": pa.array(cols["word"], pa.string()),
