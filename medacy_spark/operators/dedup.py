@@ -417,22 +417,23 @@ def ngram_jaccard_pairs(
     them, so the reported jaccard is a lower bound) and the number of
     dropped shingles is logged — never a silent cap. Default None = exact.
 
-    Set sizes come from F.size over the per-doc distinct-shingle array —
-    map-side column arithmetic, no aggregation exchange (the former
-    groupBy(id).count() shuffled every shingle a second time). The
-    exploded relation itself stays uncheckpointed: its lineage is
-    map-only (scan + explode), so the self-join's recompute is a second
-    pipelined pass, cheaper at scale than materializing a ~3×-text-size
-    shingle table the way the sketch signatures (one row per doc) are.
+    Set sizes use the explode + map-side-combined count: the exchange
+    carries one (id, count) row per doc. (An F.size-over-array variant
+    that avoids the agg exchange entirely was MEASURED 3× slower at
+    sf0.1 — each consumer branch rebuilds the distinct-shingle array,
+    which costs more than the tiny combined shuffle it saves.) The
+    exploded relation stays uncheckpointed: its lineage is map-only
+    (scan + explode), so the self-join's recompute is a second pipelined
+    pass, cheaper at scale than materializing a ~3×-text-size shingle
+    table the way the sketch signatures (one row per doc) are.
     """
     import logging
 
-    arr = df.select(
+    sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("shs"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
     )
-    sizes = arr.select("id", F.size("shs").alias("sz"))
-    sh = arr.select("id", F.explode("shs").alias("shingle"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         hot = dfreq.filter(F.col("df") > max_shingle_df)
