@@ -8,8 +8,9 @@ entry(spark)  — flagship clinical-KG slice on sf0.001: synthesize the
                 predicate.
 queries()     — one entry per implemented operator family (SURVEY.md §2),
                 each runnable at any sf dir.
-oracle_sql()  — DuckDB-equivalent SQL per query (omitted for ops whose
-                hashing is engine-specific → driver does rows-only checks).
+oracle_sql()  — DuckDB-equivalent SQL per query; every query has one
+                (engine-specific sketches run in md5 portable mode, the
+                non-SQL-expressible tokenizer reads a checked-in fixture).
 
 Implementations live in medacy_spark.contract.
 """

@@ -72,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "train":
             docs, gold = _dataset(spark, args.dataset)
+            if pipe:
+                pipe.validate_entities(gold)  # P8, like the reference CLI
             make_model().fit(docs, gold).save(args.filename)
             print(f"model written to {args.filename}")
         elif args.cmd == "predict":
@@ -80,11 +82,17 @@ def main(argv: list[str] | None = None) -> int:
             docs, _ = _dataset(spark, args.dataset)
             tok = pipe.tokenize if pipe else None
             mentions = Model.load(spark, args.model, tokenizer=tok).predict(docs)
+            # cache: the sink pass and the count would otherwise re-run
+            # the whole tokenize + broadcast-model scoring pipeline
+            mentions = mentions.persist()
             write_brat_dir(mentions, args.output)
             n = mentions.select("doc_id").distinct().count()
+            mentions.unpersist()
             print(f"{n} .ann files written to {args.output}")
         else:  # validate
             docs, gold = _dataset(spark, args.dataset)
+            if pipe:
+                pipe.validate_entities(gold)
             rows = make_model().cross_validate(docs, gold, args.folds).collect()
             cols = ("label", "avg_precision", "avg_recall", "avg_f1",
                     "min_f1", "max_f1")

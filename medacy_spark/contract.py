@@ -1610,9 +1610,13 @@ def q_metamap_candidates(spark, sf):
 , ph2 AS (SELECT doc_id, start, "end", (doc_id + start) % 97 AS k
           FROM phrase WHERE doc_id < 300),
 cand AS (
+  -- flags are the intersection of the candidate's types with the include
+  -- list (T1,T2,T9): even k always carries T9 (+T2 when k%4=2); odd k
+  -- passes the filter only via T1 (k%4=1)
   SELECT doc_id, start, "end",
          'C' || lpad(CAST(k AS VARCHAR), 4, '0') AS cui,
-         CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END AS nsem
+         CASE WHEN k % 2 = 0 THEN (CASE WHEN k % 4 = 2 THEN 2 ELSE 1 END)
+              ELSE 1 END AS nsem
   FROM ph2
   WHERE CASE WHEN k % 2 = 0 THEN TRUE ELSE (k % 4) IN (1, 2) END)
 SELECT t.doc_id, t.start AS idx, t."end" AS end_idx, t.word, c.cui,
@@ -2336,7 +2340,9 @@ WITH w AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-         string_split(lower(text), ' ') AS words
+         -- \\s+ like the Spark side, NOT a single-space split: keeps the
+         -- equivalence independent of the corpus' whitespace shape
+         string_split_regex(lower(text), '\\s+') AS words
   FROM documents),
 r AS (
   SELECT doc_id, n_tok,

@@ -218,10 +218,12 @@ class PerceptronLearner:
             "doc_id", "sent_id", "words", "labels",
         ).localCheckpoint(eager=False)  # rounds re-read it; cut the upstream
 
+        # derive the global label set from the CHECKPOINTED table so this
+        # scan shares the materialization with the mixing rounds
         global_labels = sorted(
             {"O"}
             | {r["l"] for r in
-               sentence_df.select(F.explode("labels").alias("l")).distinct().collect()}
+               sh.select(F.explode("labels").alias("l")).distinct().collect()}
         )
 
         def make_train(init_blob: bytes, avg: bool):

@@ -126,7 +126,9 @@ class Model:
                 "doc_id", "sent_id",
                 F.transform("a", lambda x: x["word"]).alias("words"),
                 F.transform("a", lambda x: x["gold_label"]).alias("labels"),
-            )
+            # cut the lineage: the count, the collect/shard passes and the
+            # label scan would each re-run tokenize + overlay otherwise
+            ).localCheckpoint(eager=False)
             n_sents = sent_df.count()
             if n_sents <= self.driver_fit_max_sentences:
                 rows = sent_df.orderBy("doc_id", "sent_id").collect()

@@ -339,6 +339,12 @@ def clean_corpus(
     if lang:
         out = out.filter(detect_language(F.col(text_col)) == lang)
     out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    # the filtered corpus is read by FOUR consumers downstream (the dedup
+    # key aggregate, the survivor semi-join, the minhash sketch and the
+    # final anti-join) — cut the lineage once so the language/quality
+    # filters run a single time (at 100 TB this is where a production
+    # pipeline materializes the post-hygiene intermediate table)
+    out = out.localCheckpoint(eager=False)
     # exact dedup: keep the smallest id per identical text. Shape matters
     # at corpus scale: a Window.partitionBy(hash(text)) would shuffle FULL
     # rows (text payload included) to co-locate each hash; the map-side-

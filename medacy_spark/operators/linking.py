@@ -90,18 +90,28 @@ def cui_overlay(
     tokens: DataFrame,
     candidates: DataFrame,
     id_col: str = "doc_id",
-    include_sem_types=(),
+    include_sem_types=None,
 ) -> DataFrame:
     """J9: overlay MetaMap-shaped candidate spans onto tokens — tokens
     inside a candidate span gain feature_cui / feature_is_{semtype} entries
     (metamap_component.py:94-136). Interval containment via the bucketed
-    band join; semantic-type include filter per metamap.py:206-235."""
+    band join.
+
+    ``include_sem_types`` follows the reference's semantic_type_labels
+    tri-state (metamap.py:206-235, json_to_pipeline.py:70-79):
+      * None ('all')      — no candidate filter; a flag per candidate type
+      * [] ('none')       — no candidate filter; feature_cui ONLY, no
+                            per-type flags (MetaMapOverlayer with
+                            semantic_type_labels=[])
+      * non-empty list    — candidates filtered to overlapping types; a
+                            flag only for the LISTED types
+    """
     from medacy_spark.operators.intervals import containment_join
 
     cand = candidates.select(
         id_col, "start", "end", "cui", "sem_types"
     )
-    if include_sem_types:
+    if include_sem_types is not None and len(include_sem_types) > 0:
         cand = cand.filter(
             F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in include_sem_types]))
         )
@@ -110,11 +120,19 @@ def cui_overlay(
         F.col("idx").alias("start"), F.col("end_idx").alias("end"), "word",
     )
     j = containment_join(toks, cand, id_col=id_col)
+    flagged_types = F.col("r_sem_types")
+    if include_sem_types is not None:
+        if len(include_sem_types) == 0:
+            flagged_types = F.filter(flagged_types, lambda _: F.lit(False))
+        else:
+            flagged_types = F.array_intersect(
+                flagged_types, F.array(*[F.lit(t) for t in include_sem_types])
+            )
     feat = F.map_concat(
         F.create_map(F.lit("feature_cui"), F.col("r_cui")),
         F.map_from_entries(
             F.transform(
-                F.col("r_sem_types"),
+                flagged_types,
                 lambda t: F.struct(
                     F.concat(F.lit("feature_is_"), t).alias("key"),
                     F.lit("True").alias("value"),

@@ -72,12 +72,13 @@ class SparkPipeline:
         self, tokens: DataFrame, candidates: DataFrame, id_col: str = "doc_id"
     ) -> DataFrame:
         """MetaMap-shaped overlay per the spec's semantic_types: 'all' →
-        no filter, 'none' → empty include list (label nothing beyond the
-        CUI), list → include those types (metamap_component.py:94-136)."""
+        no filter + all flags (include=None), 'none' → feature_cui only
+        (include=[]), list → filter + flags for those types
+        (metamap_component.py:94-136)."""
         from medacy_spark.operators.linking import cui_overlay
 
         st = self.semantic_types
-        include = () if st in ("all", None) else ([] if st == "none" else tuple(st))
+        include = None if st in ("all", None) else ([] if st == "none" else tuple(st))
         return cui_overlay(tokens, candidates, id_col, include_sem_types=include)
 
     def featurize(self, tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -94,7 +95,10 @@ class SparkPipeline:
 
         sel = self.spec["learner"]
         if sel in ("CRF", "perceptron"):
-            return PerceptronLearner(window=max(self.window_size, 2))
+            # honor the spec's window verbatim (0 = emission-only, the
+            # lstm-pipeline default); default to 2 when the spec omits it
+            w = self.window_size if "window_size" in self.spec else 2
+            return PerceptronLearner(window=w)
         if sel == "frequency":
             return FrequencyLearner()
         if sel in ("BiLSTM", "BERT"):
@@ -136,6 +140,10 @@ def json_to_pipeline(spec_or_path, entities: Sequence[str] = ()) -> SparkPipelin
         raise ValueError(
             f"Required key(s) '{missing}' was/were not found in the json file."
         )
+    # an 'entities' key in the spec itself is the CLI-visible way to get
+    # P8 validation; an explicit argument overrides it
+    if not entities:
+        entities = spec.get("entities", ())
     if "tokenizer" in spec and spec["tokenizer"] not in TOKENIZERS:
         raise ValueError(
             f"Tokenizer selection '{spec['tokenizer']}' not an option"

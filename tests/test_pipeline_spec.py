@@ -107,3 +107,48 @@ def test_spec_pipeline_end_to_end(spark):
     toks = pipe.tokenize(docs)
     ft = pipe.featurize(toks).first()
     assert any(k.startswith("2:") for k in ft["features"][0].keys())
+
+
+def test_overlay_cuis_semantic_type_tristate(spark):
+    """The spec's semantic_types tri-state (json_to_pipeline.py:70-79):
+    'all' flags every candidate type, 'none' emits feature_cui ONLY, a
+    list filters candidates and flags just the listed types."""
+    toks = spark.createDataFrame(
+        [(1, 0, 0, 0, 5, "drugx")],
+        "doc_id long, sent_id int, tok_id int, idx long, end_idx long, word string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 0, 5, "C0001", ["T1", "T2"]), (1, 0, 5, "C0002", ["T3"])],
+        "doc_id long, start long, end long, cui string, sem_types array<string>",
+    )
+    base = {"learner": "CRF", "spacy_pipeline": "en", "metamap": "/bin/mm"}
+
+    def feats(st):
+        pipe = json_to_pipeline({**base, "semantic_types": st})
+        rows = pipe.overlay_cuis(toks, cand).collect()
+        return {r["features"]["feature_cui"]: sorted(r["features"].keys())
+                for r in rows}
+
+    f_all = feats("all")
+    assert f_all["C0001"] == ["feature_cui", "feature_is_T1", "feature_is_T2"]
+    assert f_all["C0002"] == ["feature_cui", "feature_is_T3"]
+    f_none = feats("none")  # cui only, NO type flags, no candidate filter
+    assert f_none == {"C0001": ["feature_cui"], "C0002": ["feature_cui"]}
+    f_list = feats(["T2"])  # filters C0002 out; flags only T2
+    assert f_list == {"C0001": ["feature_cui", "feature_is_T2"]}
+
+
+def test_spec_entities_key_validates(spark):
+    """An 'entities' key inside the spec itself triggers P8 validation."""
+    gold = spark.createDataFrame(
+        [(1, "Drug", 0, 3, "x")],
+        "doc_id long, tag string, start long, end long, text string",
+    )
+    pipe = json_to_pipeline(
+        {"learner": "CRF", "spacy_pipeline": "en", "entities": ["Dose"]}
+    )
+    with pytest.raises(ValueError, match="not present"):
+        pipe.validate_entities(gold)
+    json_to_pipeline(
+        {"learner": "CRF", "spacy_pipeline": "en", "entities": ["Drug"]}
+    ).validate_entities(gold)
