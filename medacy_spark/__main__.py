@@ -85,8 +85,11 @@ def main(argv: list[str] | None = None) -> int:
             # cache: the sink pass and the count would otherwise re-run
             # the whole tokenize + broadcast-model scoring pipeline
             mentions = mentions.persist()
-            write_brat_dir(mentions, args.output)
-            n = mentions.select("doc_id").distinct().count()
+            # pass the doc spine: every input doc gets a .ann file, empty
+            # for mention-less docs (the reference's one-.ann-per-.txt
+            # predict layout)
+            write_brat_dir(mentions, args.output, documents=docs)
+            n = docs.select("doc_id").distinct().count()
             mentions.unpersist()
             print(f"{n} .ann files written to {args.output}")
         else:  # validate

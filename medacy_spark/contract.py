@@ -1610,15 +1610,15 @@ def q_metamap_candidates(spark, sf):
 , ph2 AS (SELECT doc_id, start, "end", (doc_id + start) % 97 AS k
           FROM phrase WHERE doc_id < 300),
 cand AS (
-  -- flags are the intersection of the candidate's types with the include
-  -- list (T1,T2,T9): even k always carries T9 (+T2 when k%4=2); odd k
-  -- passes the filter only via T1 (k%4=1)
+  -- NO candidate filter (metamap_component.py:122-136 overlays feature_cui
+  -- for every mapped term); flags are the intersection of the candidate's
+  -- types with the include list (T1,T2,T9): even k always carries T9
+  -- (+T2 when k%4=2); odd k carries a flag only via T1 (k%4=1)
   SELECT doc_id, start, "end",
          'C' || lpad(CAST(k AS VARCHAR), 4, '0') AS cui,
          CASE WHEN k % 2 = 0 THEN (CASE WHEN k % 4 = 2 THEN 2 ELSE 1 END)
-              ELSE 1 END AS nsem
-  FROM ph2
-  WHERE CASE WHEN k % 2 = 0 THEN TRUE ELSE (k % 4) IN (1, 2) END)
+              ELSE (CASE WHEN k % 4 = 1 THEN 1 ELSE 0 END) END AS nsem
+  FROM ph2)
 SELECT t.doc_id, t.start AS idx, t."end" AS end_idx, t.word, c.cui,
        CAST(1 + c.nsem AS INT) AS n_features
 FROM tokens t JOIN cand c
@@ -1662,9 +1662,11 @@ def q_cui_overlay(spark, sf):
 
 @q("semtype_filter", BASE_CTES + """
 , l AS (SELECT doc_id, tag, start, (doc_id * 7 + start) % 3 AS k3 FROM gold)
-SELECT doc_id, tag, start,
-       CASE k3 WHEN 0 THEN 'T1' WHEN 1 THEN 'T2,T9' ELSE 'T3' END AS sem
-FROM l WHERE k3 IN (0, 2)
+-- subset semantics (metamap.py:206-235): include {T1,T2} must ALL be
+-- present (drops k3=1, missing T1) and exclude {T3} fully present drops
+-- k3=2; only k3=0 = {T1,T2} survives both predicates
+SELECT doc_id, tag, start, 'T1,T2' AS sem
+FROM l WHERE k3 = 0
 ORDER BY doc_id, start, tag
 """)
 def q_semtype_filter(spark, sf):
@@ -1674,11 +1676,11 @@ def q_semtype_filter(spark, sf):
     k3 = (F.col("doc_id") * 7 + F.col("start")) % 3
     links = g.select(
         "doc_id", "tag", "start",
-        F.when(k3 == 0, F.array(F.lit("T1")))
+        F.when(k3 == 0, F.array(F.lit("T1"), F.lit("T2")))
         .when(k3 == 1, F.array(F.lit("T2"), F.lit("T9")))
-        .otherwise(F.array(F.lit("T3"))).alias("sem_types"),
+        .otherwise(F.array(F.lit("T1"), F.lit("T2"), F.lit("T3"))).alias("sem_types"),
     )
-    out = filter_semantic_types(links, include=("T1", "T2", "T3"), exclude=("T9",))
+    out = filter_semantic_types(links, include=("T1", "T2"), exclude=("T3",))
     return out.select(
         "doc_id", "tag", "start", F.array_join("sem_types", ",").alias("sem")
     ).orderBy("doc_id", "start", "tag")

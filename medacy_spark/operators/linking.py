@@ -99,22 +99,23 @@ def cui_overlay(
 
     ``include_sem_types`` follows the reference's semantic_type_labels
     tri-state (metamap.py:206-235, json_to_pipeline.py:70-79):
-      * None ('all')      — no candidate filter; a flag per candidate type
-      * [] ('none')       — no candidate filter; feature_cui ONLY, no
-                            per-type flags (MetaMapOverlayer with
-                            semantic_type_labels=[])
-      * non-empty list    — candidates filtered to overlapping types; a
-                            flag only for the LISTED types
+      * None ('all')      — a flag per candidate type
+      * [] ('none')       — feature_cui ONLY, no per-type flags
+                            (MetaMapOverlayer with semantic_type_labels=[])
+      * non-empty list    — a flag only for the LISTED types
+
+    No mode filters the candidates themselves: the reference overlays
+    feature_cui for ALL mapped terms regardless of semantic_type_labels
+    (metamap_component.py:122-136 iterates `mapped_terms`, not the
+    label-filtered set) — only the feature_is_* flags are label-restricted
+    (the per-label `get_term_by_semantic_type(include=[label])` pass at
+    metamap_component.py:95-100 reduces to type membership).
     """
     from medacy_spark.operators.intervals import containment_join
 
     cand = candidates.select(
         id_col, "start", "end", "cui", "sem_types"
     )
-    if include_sem_types is not None and len(include_sem_types) > 0:
-        cand = cand.filter(
-            F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in include_sem_types]))
-        )
     toks = tokens.select(
         id_col, "sent_id", "tok_id",
         F.col("idx").alias("start"), F.col("end_idx").alias("end"), "word",
@@ -154,17 +155,37 @@ def cui_overlay(
 def filter_semantic_types(
     links: DataFrame,
     include: Sequence[str] = (),
-    exclude: Sequence[str] = (),
+    exclude: Sequence[str] | None = None,
 ) -> DataFrame:
-    """MetaMap-style semantic-type predicate (metamap.py:206-235): keep rows
-    whose sem_types intersect `include` (if given) and avoid `exclude`."""
-    out = links
-    if include:
-        out = out.filter(
-            F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in include]))
+    """MetaMap-style semantic-type predicate — subset semantics, exactly
+    get_term_by_semantic_type (metamap.py:206-235):
+
+      * raises when include and exclude overlap (the reference's guard);
+      * rows with an empty sem_types set are always dropped (the
+        ``@Count == 0: continue`` branch);
+      * a row is dropped when ALL exclude types are present
+        (``set(exclude) <= found_types``);
+      * a row is kept only when ALL include types are present
+        (``set(include) <= found_types``; the empty default keeps
+        everything not excluded).
+    """
+    if exclude is not None:
+        overlap = set(include) & set(exclude)
+        if overlap:
+            raise ValueError(
+                "Include and exclude overlap with the following semantic types: "
+                + ", ".join(sorted(overlap))
+            )
+    out = links.filter(F.size("sem_types") > 0)
+
+    def _all_present(types: Sequence[str]):
+        return F.forall(
+            F.array(*[F.lit(t) for t in types]),
+            lambda t: F.array_contains(F.col("sem_types"), t),
         )
+
     if exclude:
-        out = out.filter(
-            ~F.arrays_overlap("sem_types", F.array(*[F.lit(t) for t in exclude]))
-        )
+        out = out.filter(~_all_present(exclude))
+    if include:
+        out = out.filter(_all_present(include))
     return out

@@ -47,10 +47,11 @@ class SparkPipeline:
         self.spec = spec
         self.entities = list(entities)
         self.window_size = int(spec.get("window_size", 0))
-        self.feature_cols = tuple(
-            spec.get("spacy_features",
-                     ["word", "lower_", "prefix_", "suffix_", "shape_", "like_num"])
-        )
+        # the reference's FeatureExtractor defaults to spacy_features=
+        # ['text'] when the spec omits the key (json_to_pipeline.py /
+        # discrete_feature_extractor.py:23) — 'word' is our surface-form
+        # analogue; richer feature sets are opt-in via the spec
+        self.feature_cols = tuple(spec.get("spacy_features", ["word"]))
         self.tokenizer = spec.get("tokenizer")
         self.semantic_types = spec.get("semantic_types")
 

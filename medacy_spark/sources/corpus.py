@@ -44,7 +44,12 @@ def write_mentions(mentions: DataFrame, path: str, mode: str = "overwrite") -> N
     mentions.write.mode(mode).parquet(path)
 
 
-def write_brat_dir(mentions: DataFrame, out_dir: str, id_col: str = "doc_id") -> None:
+def write_brat_dir(
+    mentions: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    documents: DataFrame | None = None,
+) -> None:
     """S4: reference-shaped directory sink (one OUT/<doc>.ann per doc,
     model.py:260-270) WITHOUT a driver collect: hash-repartition on the
     doc key so every doc's lines land in one partition, sort within
@@ -52,6 +57,13 @@ def write_brat_dir(mentions: DataFrame, out_dir: str, id_col: str = "doc_id") ->
     writer's (start, end) span order by to_ann_lines, so files are
     byte-compatible with a reference-written .ann — and stream files out
     of the executors with foreachPartition.
+
+    When ``documents`` is given, every input doc gets a .ann file — docs
+    with no predicted mentions get an EMPTY one, matching the reference's
+    one-.ann-per-.txt predict layout (model.py:260-270 writes
+    ``str(annotations)`` for every doc). Implemented as a left-join of the
+    doc spine against the lines, a zero-length sentinel line standing in
+    for "no content" — still no driver collect.
 
     Local/shared-filesystem sink: on a cluster without a shared mount the
     at-scale sink remains write_mentions (parquet, bucket-by-doc); this is
@@ -63,6 +75,11 @@ def write_brat_dir(mentions: DataFrame, out_dir: str, id_col: str = "doc_id") ->
 
     os.makedirs(out_dir, exist_ok=True)
     lines = to_ann_lines(mentions, id_col)
+    if documents is not None:
+        spine = documents.select(id_col).distinct()
+        lines = spine.join(lines, id_col, "left").select(
+            id_col, F.coalesce(F.col("line"), F.lit("")).alias("line")
+        )
     t_num = F.regexp_extract("line", r"^T(\d+)\t", 1).cast("int")
     arranged = lines.repartition(F.col(id_col)).sortWithinPartitions(
         F.col(id_col), t_num
@@ -74,8 +91,9 @@ def write_brat_dir(mentions: DataFrame, out_dir: str, id_col: str = "doc_id") ->
 
         def flush() -> None:
             if cur is not None:
+                content = "\n".join(buf) + "\n" if buf != [""] else ""
                 with open(os.path.join(out_dir, f"{cur}.ann"), "w") as f:
-                    f.write("\n".join(buf) + "\n")
+                    f.write(content)
 
         for r in rows:
             key = str(r[id_col])

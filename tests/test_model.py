@@ -149,3 +149,27 @@ def test_write_brat_dir_scale_safe(spark, tmp_path):
     import medacy_spark.__main__ as cli
 
     assert ".collect()" not in inspect.getsource(cli.main).split('else:  # validate')[0]
+
+
+def test_write_brat_dir_empty_ann_per_doc(spark, tmp_path):
+    """With a documents spine, mention-less docs get an EMPTY .ann file —
+    the reference predict writes one .ann per input .txt (model.py:260-270),
+    so downstream pairing joins see no missing files."""
+    import os
+
+    from medacy_spark.sources.corpus import write_brat_dir
+
+    docs = spark.createDataFrame(
+        [("docA", "aspirin here"), ("docB", "nothing here"), ("docC", "")],
+        "doc_id string, text string",
+    )
+    mentions = spark.createDataFrame(
+        [("docA", "Drug", 0, 7, "aspirin")],
+        "doc_id string, tag string, start long, end long, text string",
+    )
+    out = str(tmp_path / "preds")
+    write_brat_dir(mentions, out, documents=docs)
+    assert sorted(os.listdir(out)) == ["docA.ann", "docB.ann", "docC.ann"]
+    assert open(os.path.join(out, "docA.ann")).read().startswith("T1\tDrug 0 7")
+    assert open(os.path.join(out, "docB.ann")).read() == ""
+    assert open(os.path.join(out, "docC.ann")).read() == ""

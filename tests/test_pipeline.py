@@ -80,3 +80,35 @@ def test_linking_and_kg(spark, doc_ids):
     tyl = nodes.filter(F.array_contains("names", "tylenol")).collect()
     if tyl:
         assert tyl[0]["canonical_id"].startswith("c:")
+
+
+def test_filter_semantic_types_subset_semantics(spark):
+    """get_term_by_semantic_type parity (metamap.py:206-235): subset
+    containment both ways, include/exclude overlap raises, empty-type rows
+    always skipped."""
+    import pytest
+
+    from medacy_spark.operators.linking import filter_semantic_types
+
+    links = spark.createDataFrame(
+        [
+            (1, ["T1", "T2"]),        # include subset -> kept
+            (2, ["T2", "T9"]),        # missing T1 -> dropped by include
+            (3, ["T1", "T2", "T3"]),  # exclude {T3} fully present -> dropped
+            (4, []),                  # @Count == 0 -> always dropped
+        ],
+        "id long, sem_types array<string>",
+    )
+    got = filter_semantic_types(links, include=("T1", "T2"), exclude=("T3",))
+    assert [r["id"] for r in got.collect()] == [1]
+
+    # exclude needs ALL its types present: T3+T4 exclude keeps row 3
+    got2 = filter_semantic_types(links, include=("T1",), exclude=("T3", "T4"))
+    assert sorted(r["id"] for r in got2.collect()) == [1, 3]
+
+    # empty include keeps everything not excluded (and non-empty-typed)
+    got3 = filter_semantic_types(links, include=(), exclude=("T9",))
+    assert sorted(r["id"] for r in got3.collect()) == [1, 3]
+
+    with pytest.raises(ValueError, match="Include and exclude overlap"):
+        filter_semantic_types(links, include=("T1",), exclude=("T1", "T2"))

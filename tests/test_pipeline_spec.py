@@ -112,7 +112,8 @@ def test_spec_pipeline_end_to_end(spark):
 def test_overlay_cuis_semantic_type_tristate(spark):
     """The spec's semantic_types tri-state (json_to_pipeline.py:70-79):
     'all' flags every candidate type, 'none' emits feature_cui ONLY, a
-    list filters candidates and flags just the listed types."""
+    list flags just the listed types. No mode filters the candidates —
+    feature_cui overlays every mapped term (metamap_component.py:122-136)."""
     toks = spark.createDataFrame(
         [(1, 0, 0, 0, 5, "drugx")],
         "doc_id long, sent_id int, tok_id int, idx long, end_idx long, word string",
@@ -134,8 +135,11 @@ def test_overlay_cuis_semantic_type_tristate(spark):
     assert f_all["C0002"] == ["feature_cui", "feature_is_T3"]
     f_none = feats("none")  # cui only, NO type flags, no candidate filter
     assert f_none == {"C0001": ["feature_cui"], "C0002": ["feature_cui"]}
-    f_list = feats(["T2"])  # filters C0002 out; flags only T2
-    assert f_list == {"C0001": ["feature_cui", "feature_is_T2"]}
+    f_list = feats(["T2"])  # flags only T2; C0002 still gets its cui
+    assert f_list == {
+        "C0001": ["feature_cui", "feature_is_T2"],
+        "C0002": ["feature_cui"],
+    }
 
 
 def test_spec_entities_key_validates(spark):
