@@ -1102,6 +1102,292 @@ def q_clinical_mention_counts(spark, sf):
     return m.groupBy("tag").agg(F.count("*").alias("cnt")).orderBy("tag")
 
 
+# ---- J8/W7: the rx corpus — phrase gazetteer + full UnitOverlayer port.
+# The SQL replays corpus/synth.py rx_documents arithmetic, tokenizes with
+# string_split + running offsets, and re-expresses every matcher family as
+# lead()/lag() predicates generated from the SAME vocab constants
+# (operators/matchers.py) so both engines share one source of truth.
+
+
+def _rx_ctes() -> str:
+    def pick(arr, off):
+        cases = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(arr))
+        return f"CASE (h + {off}) % {len(arr)} {cases} END"
+
+    return f"""
+WITH rx_feat AS (
+  SELECT doc_id, CAST(doc_id * 193 AS BIGINT) AS h, doc_id % 4 AS kind
+  FROM documents),
+rx_vals AS (
+  SELECT doc_id, kind,
+         {pick(lex.PHRASE_DRUGS, 1)} AS ph,
+         {pick(lex.DRUGS, 2)} AS dr,
+         CAST((h * 3 + 11) % 97 + 1 AS VARCHAR) AS n1,
+         CAST((h * 5 + 13) % 97 + 1 AS VARCHAR) AS n2,
+         CAST(h % 9 + 2 AS VARCHAR) AS n3,
+         CAST(h % 6 + 1 AS VARCHAR) AS n4,
+         CAST(h % 100 AS VARCHAR) AS n5
+  FROM rx_feat),
+rx_txt AS (
+  SELECT doc_id, CASE kind
+    WHEN 0 THEN 'patient took ' || ph || ' ' || n1 || ' mg / ml by mouth as needed .'
+    WHEN 1 THEN 'infusion of ' || ph || ' at ' || n2 || ' ml / hour in ' || n3 || ' days .'
+    WHEN 2 THEN 'apply ' || n4 || ' x tablet once a day prn .'
+    ELSE 'level fell ' || n5 || ' % after ' || dr || ' via mucous membrane twice a day .'
+  END AS text FROM rx_vals),
+rx_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM rx_txt),
+rx_tokens AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+         CAST(coalesce(sum(length(word)+1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+         CAST(coalesce(sum(length(word)+1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(word) AS BIGINT) AS "end"
+  FROM rx_raw),
+rx_nb AS (
+  SELECT doc_id, pos, word, lower(word) AS l0, start, "end",
+         lead(word, 1) OVER w AS o1, lower(lead(word, 1) OVER w) AS l1,
+         CAST(lead("end", 1) OVER w AS BIGINT) AS e1,
+         lead(word, 2) OVER w AS o2, lower(lead(word, 2) OVER w) AS l2,
+         CAST(lead("end", 2) OVER w AS BIGINT) AS e2,
+         lead(word, 3) OVER w AS o3, lower(lead(word, 3) OVER w) AS l3,
+         CAST(lead("end", 3) OVER w AS BIGINT) AS e3,
+         lower(lag(word, 1) OVER w) AS b1, lower(lag(word, 2) OVER w) AS b2
+  FROM rx_tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+"""
+
+
+def _rx_pred(which: str, l: str, o: str) -> str:
+    """SQL predicate for a single-token matcher family at a given
+    lower/orth column pair — generated from operators.matchers vocab."""
+    from medacy_spark.operators import matchers as mt
+
+    if which == "mass":
+        return f"({l} IN ({_sql_list(mt.MASS_LOWER)}) OR {o} IN ({_sql_list(mt.MASS_ORTH)}))"
+    if which == "volume":
+        return f"({l} IN ({_sql_list(mt.VOLUME_LOWER)}) OR {o} IN ({_sql_list(mt.VOLUME_ORTH)}))"
+    if which == "time":
+        return f"({l} IN ({_sql_list(mt.TIME_LOWER)}))"
+    if which == "form":
+        return (
+            f"({o} IN ({_sql_list(mt.FORM_ORTH)})"
+            f" OR regexp_replace({l}, 's$', '') IN ({_sql_list(mt.FORM_LEMMA)})"
+            f" OR {l} IN ({_sql_list(mt.FORM_LOWER)}))"
+        )
+    if which == "route":
+        return (
+            f"({l} IN ({_sql_list(mt.ROUTE_LOWER)})"
+            f" OR {o} IN ({_sql_list(mt.ROUTE_ORTH)})"
+            f" OR regexp_replace({l}, 's$', '') IN ({_sql_list(mt.ROUTE_LEMMA)}))"
+        )
+    if which == "freq":
+        return f"({l} IN ({_sql_list(mt.FREQ_LOWER)}))"
+    raise KeyError(which)
+
+
+_RX_NUM = r"regexp_full_match({}, '\d+(\.\d+)?')"
+
+
+def _rx_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medacy_spark.corpus.synth import rx_documents
+
+    return rx_documents(_clin_ids(spark, sf_dir))
+
+
+def _gaz_phrase_sql() -> str:
+    one = [t for t in lex.DRUGS if " " not in t]
+    two = [t for t in lex.PHRASE_DRUGS if t.count(" ") == 1]
+    three = [t for t in lex.PHRASE_DRUGS if t.count(" ") == 2]
+    return _rx_ctes() + f"""
+SELECT * FROM (
+  SELECT doc_id, 'Drug' AS tag, start, "end", word AS text
+  FROM rx_tokens WHERE lower(word) IN ({_sql_list(one)})
+  UNION ALL
+  SELECT doc_id, 'Drug', start, e1, word || ' ' || o1
+  FROM rx_nb WHERE lower(word || ' ' || o1) IN ({_sql_list(two)})
+  UNION ALL
+  SELECT doc_id, 'Drug', start, e2, word || ' ' || o1 || ' ' || o2
+  FROM rx_nb WHERE lower(word || ' ' || o1 || ' ' || o2) IN ({_sql_list(three)})
+) ORDER BY doc_id, start, "end"
+"""
+
+
+@q("gazetteer_phrase_match", _gaz_phrase_sql())
+def q_gazetteer_phrase_match(spark, sf):
+    """J8: multi-word PhraseMatcher semantics — n-gram broadcast join, all
+    matches emitted (a unigram drug inside a matched phrase also matches,
+    spaCy PhraseMatcher is not longest-only)."""
+    from medacy_spark.operators.mentions import gazetteer_mentions
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    toks = tokenize_native(_rx_docs(spark, sf))
+    gaz = spark.createDataFrame(
+        [("Drug", t) for t in lex.DRUGS + lex.PHRASE_DRUGS],
+        "label string, term string",
+    )
+    m = gazetteer_mentions(toks, gaz, max_ngram=3)
+    return m.select("doc_id", "tag", "start", "end", "text").orderBy(
+        "doc_id", "start", "end"
+    )
+
+
+def _compound_sql() -> str:
+    num0 = _RX_NUM.format("word")
+    m0, v0, t0, f0 = (_rx_pred(w, "l0", "word") for w in ("mass", "volume", "time", "form"))
+    m1, v1, t1, f1 = (_rx_pred(w, "l1", "o1") for w in ("mass", "volume", "time", "form"))
+    v2, t2, f2 = (_rx_pred(w, "l2", "o2") for w in ("volume", "time", "form"))
+    v3, t3 = (_rx_pred(w, "l3", "o3") for w in ("volume", "time"))
+    compound1 = (
+        f"(({m1} AND o2 = '/' AND {v3}) OR ({v1} AND o2 = '/' AND {t3})"
+        f" OR ({f1} AND o2 = '/' AND {v3}))"
+    )
+    return _rx_ctes() + f"""
+SELECT * FROM (
+  SELECT doc_id, 'measurement_unit' AS family, start, e2 AS "end",
+         word || ' ' || o1 || ' ' || o2 AS text
+  FROM rx_nb WHERE o1 = '/' AND (({m0} AND {v2}) OR ({v0} AND {t2}) OR ({f0} AND {v2}))
+  UNION ALL
+  SELECT doc_id, 'measurement', start, e1, word || ' ' || o1
+  FROM rx_nb WHERE {num0} AND (o1 = '%' OR {m1} OR {v1} OR {f1})
+  UNION ALL
+  SELECT doc_id, 'measurement', start, e2, word || ' ' || o1 || ' ' || o2
+  FROM rx_nb WHERE {num0} AND l1 = 'x' AND {f2}
+  UNION ALL
+  SELECT doc_id, 'measurement', start, e3,
+         word || ' ' || o1 || ' ' || o2 || ' ' || o3
+  FROM rx_nb WHERE {num0} AND {compound1}
+) ORDER BY doc_id, start, "end", family
+"""
+
+
+@q("compound_unit_pairs", _compound_sql())
+def q_compound_unit_pairs(spark, sf):
+    """W7: x/y compound measurement units (unit_component.py:152-156) and
+    the five measurement shapes (157-165) over the rx corpus."""
+    from medacy_spark.operators.matchers import unit_spans
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    toks = tokenize_native(_rx_docs(spark, sf))
+    s = unit_spans(toks)
+    return s.filter(
+        F.col("family").isin("measurement_unit", "measurement")
+    ).select("doc_id", "family", "start", "end", "text").orderBy(
+        "doc_id", "start", "end", "family"
+    )
+
+
+def _dfr_sql() -> str:
+    num1 = _RX_NUM.format("o1")
+    t1 = _rx_pred("time", "l1", "o1")
+    t2 = _rx_pred("time", "l2", "o2")
+    r0 = _rx_pred("route", "l0", "word")
+    q0 = _rx_pred("freq", "l0", "word")
+    num0 = _RX_NUM.format("word")
+    return _rx_ctes() + f"""
+SELECT * FROM (
+  SELECT doc_id, 'duration_pattern' AS family, start, e1 AS "end",
+         word || ' ' || o1 AS text
+  FROM rx_nb WHERE {num0} AND {t1}
+  UNION ALL
+  SELECT doc_id, 'duration_pattern', start, e2, word || ' ' || o1 || ' ' || o2
+  FROM rx_nb WHERE l0 = 'in' AND {num1} AND {t2}
+  UNION ALL
+  SELECT doc_id, 'duration_pattern', start, "end", word
+  FROM rx_nb WHERE l0 = 'prn'
+  UNION ALL
+  SELECT doc_id, 'frequency_indicator', start, "end", word
+  FROM rx_nb WHERE {q0}
+  UNION ALL
+  SELECT doc_id, 'frequency_indicator', start, e1, word || ' ' || o1
+  FROM rx_nb WHERE l0 = 'as' AND l1 = 'needed'
+  UNION ALL
+  SELECT doc_id, 'frequency_indicator', start, e2, word || ' ' || o1 || ' ' || o2
+  FROM rx_nb WHERE l0 IN ('once', 'twice') AND l1 = 'a' AND l2 = 'day'
+  UNION ALL
+  SELECT doc_id, 'route_type', start, "end", word
+  FROM rx_nb WHERE {r0}
+  UNION ALL
+  SELECT doc_id, 'route_type', start, e1, word || ' ' || o1
+  FROM rx_nb WHERE (l0 = 'by' AND l1 = 'mouth') OR (l0 = 'mucous' AND l1 = 'membrane')
+) ORDER BY doc_id, start, "end", family
+"""
+
+
+@q("duration_frequency_route_spans", _dfr_sql())
+def q_duration_frequency_route_spans(spark, sf):
+    """W7: duration patterns incl. the 3-token 'in N <time>' shape
+    (unit_component.py:167-172 — the {'POS':'PREP'} variant is dead, see
+    operators/matchers.py), multi-word frequency (97-108) and route
+    (139, 144) phrases."""
+    from medacy_spark.operators.matchers import unit_spans
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    toks = tokenize_native(_rx_docs(spark, sf))
+    s = unit_spans(toks)
+    return s.filter(
+        F.col("family").isin("duration_pattern", "frequency_indicator", "route_type")
+    ).select("doc_id", "family", "start", "end", "text").orderBy(
+        "doc_id", "start", "end", "family"
+    )
+
+
+def _flags_sql() -> str:
+    m0 = _rx_pred("mass", "l0", "word")
+    v0 = _rx_pred("volume", "l0", "word")
+    t0 = _rx_pred("time", "l0", "word")
+    f0 = _rx_pred("form", "l0", "word")
+    q0 = _rx_pred("freq", "l0", "word")
+    r0 = _rx_pred("route", "l0", "word")
+    freq = (
+        f"({q0} OR (l0 = 'as' AND l1 = 'needed') OR (l0 = 'needed' AND b1 = 'as')"
+        " OR (l0 IN ('once','twice') AND l1 = 'a' AND l2 = 'day')"
+        " OR (l0 = 'a' AND b1 IN ('once','twice') AND l1 = 'day')"
+        " OR (l0 = 'day' AND b1 = 'a' AND b2 IN ('once','twice')))"
+    )
+    route = (
+        f"({r0} OR (l0 = 'by' AND l1 = 'mouth') OR (l0 = 'mouth' AND b1 = 'by')"
+        " OR (l0 = 'mucous' AND l1 = 'membrane')"
+        " OR (l0 = 'membrane' AND b1 = 'mucous'))"
+    )
+    return _rx_ctes() + f"""
+SELECT doc_id, pos, word,
+       CAST({m0} AS INT) AS is_mass,
+       CAST({v0} AS INT) AS is_volume,
+       CAST({t0} AS INT) AS is_time,
+       CAST({f0} AS INT) AS is_form,
+       CAST({freq} AS INT) AS is_freq,
+       CAST({route} AS INT) AS is_route
+FROM rx_nb ORDER BY doc_id, pos
+"""
+
+
+@q("unit_token_flags", _flags_sql())
+def q_unit_token_flags(spark, sf):
+    """W7: the six per-token feature_is_* booleans the reference registers
+    (unit_component.py:21-37), incl. phrase-membership for frequency and
+    route (every token inside a matched span is flagged)."""
+    from medacy_spark.operators.matchers import unit_token_flags
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    toks = tokenize_native(_rx_docs(spark, sf))
+    fl = unit_token_flags(toks)
+    return fl.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        "word",
+        F.col("feature_is_mass_unit").cast("int").alias("is_mass"),
+        F.col("feature_is_volume_unit").cast("int").alias("is_volume"),
+        F.col("feature_is_time_unit").cast("int").alias("is_time"),
+        F.col("feature_is_form_unit").cast("int").alias("is_form"),
+        F.col("feature_is_frequency_indicator").cast("int").alias("is_freq"),
+        F.col("feature_is_route_type").cast("int").alias("is_route"),
+    ).orderBy("doc_id", "pos")
+
+
 # ---- X4: stratified fold assignment (reference create_folds semantics)
 
 

@@ -19,6 +19,15 @@ DRUGS = [
     "prednisone", "gabapentin",
 ]
 
+# Multi-word drug surface forms (J8: the reference PhraseMatcher handles
+# phrases up to 10 tokens, lexicon_component.py:37; real drug names are
+# often 2-3 words). Two of these deliberately CONTAIN a unigram DRUGS
+# member so overlapping phrase+unigram matches exercise the PhraseMatcher
+# all-matches (not longest-only) semantics.
+PHRASE_DRUGS = [
+    "insulin glargine", "coated aspirin", "extended release metformin",
+]
+
 # Adverse events (n2c2 ADE class).
 ADES = [
     "nausea", "rash", "dizziness", "headache", "vomiting",

@@ -198,6 +198,46 @@ def clinical_documents(doc_ids: DataFrame) -> DataFrame:
     )
 
 
+def rx_documents(doc_ids: DataFrame) -> DataFrame:
+    """Deterministic prescription-style corpus exercising every
+    UnitOverlayer matcher family (unit_component.py:61-172) and multi-word
+    phrase matching (lexicon_component.py:37): compound units (mass/volume,
+    volume/time), percent and num-x-form measurements, 2-/3-token
+    frequency ("as needed", "once a day", "twice a day") and route
+    ("by mouth", "mucous membrane") phrases, 3-token durations
+    ("in N days"), and 2-/3-word drug names.
+
+    One single-space sentence per doc (kind = doc_id % 4); pure arithmetic
+    over doc_id, map-only like clinical_documents. Kept SEPARATE from the
+    clinical corpus so its sha-pinned templates (tests/test_determinism.py)
+    stay untouched."""
+    d = F.col("doc_id")
+    h = (d * 193).cast("long")
+    kind = F.pmod(d, F.lit(4))
+    ph = _pick(lex.PHRASE_DRUGS, h + 1)
+    dr = _pick(lex.DRUGS, h + 2)
+    n1 = (F.pmod(h * 3 + 11, F.lit(97)) + 1).cast("string")
+    n2 = (F.pmod(h * 5 + 13, F.lit(97)) + 1).cast("string")
+    n3 = (F.pmod(h, F.lit(9)) + 2).cast("string")
+    n4 = (F.pmod(h, F.lit(6)) + 1).cast("string")
+    n5 = F.pmod(h, F.lit(100)).cast("string")
+    sp = F.lit(" ")
+    t0 = F.concat(
+        F.lit("patient took "), ph, sp, n1, F.lit(" mg / ml by mouth as needed .")
+    )
+    t1 = F.concat(
+        F.lit("infusion of "), ph, F.lit(" at "), n2,
+        F.lit(" ml / hour in "), n3, F.lit(" days ."),
+    )
+    t2 = F.concat(F.lit("apply "), n4, F.lit(" x tablet once a day prn ."))
+    t3 = F.concat(
+        F.lit("level fell "), n5, F.lit(" % after "), dr,
+        F.lit(" via mucous membrane twice a day ."),
+    )
+    text = F.when(kind == 0, t0).when(kind == 1, t1).when(kind == 2, t2).otherwise(t3)
+    return doc_ids.select("doc_id", text.alias("text"))
+
+
 def gold_mentions(doc_ids: DataFrame) -> DataFrame:
     """-> (doc_id, tag, start, end, text): the EntTuple relation
     (annotations.py:8), multi-token roles merged by island_merge (W2)."""

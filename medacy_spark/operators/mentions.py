@@ -31,29 +31,121 @@ def gazetteer_mentions(
     id_col: str = "doc_id",
     max_ngram: int = 1,
 ) -> DataFrame:
-    """Broadcast-join token n-grams (n ≤ max_ngram) against (label, term).
+    """Broadcast-join token n-grams (n ≤ max_ngram) against (label, term) —
+    the LexiconOverlayer's PhraseMatcher (lexicon_component.py:27-52) as a
+    relational plan.
 
-    PhraseMatcher max phrase length is 10 in the reference
-    (lexicon_component.py:37); our synthetic gazetteer is single-token so the
-    default keeps the explode factor at 1. Multi-word terms: raise max_ngram
-    and the n-gram spans are built from lead() windows upstream.
+    PhraseMatcher semantics replicated:
+      * phrases up to max_ngram tokens (the reference caps at 10,
+        lexicon_component.py:37);
+      * ALL matches are emitted, not just the longest — a unigram term
+        inside a matched bigram still matches (spaCy returns every match);
+      * matches may cross sentence boundaries (the matcher runs on the
+        whole Doc). Matching is case-insensitive on the joined surface
+        (the reference matches ORTH of `nlp.make_doc(term)` output; our
+        gazetteers are lowercase, so LOWER == ORTH there — documented
+        divergence for mixed-case corpora).
+
+    Plan shape: ONE lead() window pass (shares the tokenizer's doc
+    partitioning) builds one candidate struct per (token, n); explode +
+    broadcast hash join — no shuffle beyond the token exchange, no
+    SortMergeJoin (plan-gated). The n-gram lengths actually present in the
+    gazetteer are read driver-side first (the gazetteer is a
+    broadcast-scale dim table — this collect is dim-metadata, same class
+    as planning the broadcast itself), so a max_ngram=10 call with only
+    1-2-word terms explodes 2x per token, not 10x.
     """
-    t = tokens.select(
+    ns = sorted(
+        {
+            r["n"]
+            for r in gazetteer.select(
+                F.size(F.split(F.col("term"), " ")).alias("n")
+            ).distinct().collect()
+            if 1 <= r["n"] <= max_ngram
+        }
+    )
+    if not ns:
+        ns = [1]
+    from pyspark.sql import Window
+
+    order_cols = ["pos"] if "pos" in tokens.columns else ["sent_id", "tok_id"]
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    t = tokens
+    for i in range(1, max(ns)):
+        t = t.withColumn(f"_w{i}", F.lead("word", i).over(w))
+        t = t.withColumn(f"_e{i}", F.lead("end_idx", i).over(w))
+    cands = []
+    for n in ns:
+        words = [F.col("word")] + [F.col(f"_w{i}") for i in range(1, n)]
+        end = F.col("end_idx") if n == 1 else F.col(f"_e{n - 1}")
+        surface = F.concat_ws(" ", *words)
+        cands.append(
+            F.when(
+                words[-1].isNotNull(),
+                F.struct(
+                    F.lower(surface).alias("norm"),
+                    F.lit(n).alias("n"),
+                    F.col("idx").alias("start"),
+                    end.alias("end"),
+                    surface.alias("text"),
+                ),
+            )
+        )
+    has_pos = "pos" in tokens.columns
+    spans = t.select(
         id_col,
         "sent_id",
-        F.lower(F.col("word")).alias("norm"),
-        F.col("idx").alias("start"),
-        F.col("end_idx").alias("end"),
-        "word",
-    )
-    g = F.broadcast(gazetteer.select(F.lower("term").alias("norm"), "label"))
-    out = t.join(g, "norm").select(
+        *(["pos"] if has_pos else []),
+        F.explode(F.filter(F.array(*cands), lambda c: c.isNotNull())).alias("g"),
+    ).select(
         id_col, "sent_id",
-        F.col("label").alias("tag"),
-        "start", "end",
-        F.col("word").alias("text"),
+        *(["pos"] if has_pos else []),
+        F.col("g.norm").alias("_norm"),
+        F.col("g.n").alias("n"),
+        F.col("g.start").alias("start"),
+        F.col("g.end").alias("end"),
+        F.col("g.text").alias("text"),
     )
-    return out
+    g = F.broadcast(gazetteer.select(F.lower("term").alias("_norm"), "label"))
+    return spans.join(g, "_norm").select(
+        id_col, "sent_id",
+        *(["pos", "n"] if has_pos else []),
+        F.col("label").alias("tag"),
+        "start", "end", "text",
+    )
+
+
+def lexicon_overlay(
+    tokens: DataFrame,
+    gazetteer: DataFrame,
+    id_col: str = "doc_id",
+    max_ngram: int = 10,
+) -> DataFrame:
+    """Per-token ``feature_is_<label>_from_lexicon`` flags — the reference
+    sets the flag on EVERY token inside a matched span
+    (lexicon_component.py:44-52). Requires a ``pos`` column (doc-wide token
+    position, tokenize_native keeps it).
+
+    Covered positions come straight from the match arithmetic (a match at
+    pos p over n tokens covers p..p+n-1) — sequence+explode, then one
+    co-partitioned aggregation back onto (doc, pos); no interval join.
+    """
+    labels = sorted(
+        r["label"] for r in gazetteer.select("label").distinct().collect()
+    )
+    m = gazetteer_mentions(tokens, gazetteer, id_col, max_ngram)
+    covered = m.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias("pos"),
+        "tag",
+    ).groupBy(id_col, "pos").agg(F.collect_set("tag").alias("_tags"))
+    out = tokens.join(covered, [id_col, "pos"], "left")
+    for lab in labels:
+        out = out.withColumn(
+            f"feature_is_{lab}_from_lexicon",
+            F.coalesce(F.array_contains("_tags", lab), F.lit(False)),
+        )
+    return out.drop("_tags")
 
 
 def unit_mentions(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
