@@ -292,6 +292,39 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
 
+def verify_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of sketch candidate pairs — the standard
+    MinHash→verify second stage. Only docs that appear in ``pairs`` grow
+    shingle sets (left-semi restriction), the Jaccard join runs inside
+    that subset, and the result is intersected back with the candidate
+    pair set: (id_a, id_b, jaccard) for candidates whose EXACT similarity
+    clears the threshold.
+
+    The hot-shingle guard defaults to DEFAULT_MAX_SHINGLE_DF here too
+    (``None`` inherits it) — a boilerplate shingle shared by every
+    candidate doc would otherwise make the verify stage df²-quadratic,
+    exactly the failure mode the sketch stage was avoiding.
+    """
+    if max_shingle_df is None:
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(sub, text_col, id_col, n, threshold, max_shingle_df)
+    return pairs.select("id_a", "id_b").join(exact, ["id_a", "id_b"])
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -299,6 +332,7 @@ def dedup_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     min_bands: int = 2,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """Corpus-level near-duplicate removal: minhash-LSH candidate pairs →
     connected components over the near-dup graph → keep the minimum id of
@@ -306,13 +340,20 @@ def dedup_corpus(
 
     This is the standard web-corpus dedup topology (candidate generation
     never materializes the cross product; the CC graph is tiny relative to
-    the corpus). min_bands tunes precision of the candidate edges.
+    the corpus). min_bands tunes precision of the candidate edges;
+    ``verify_threshold`` additionally confirms every candidate edge by
+    EXACT n-gram Jaccard (verify_near_dups, hot-shingle guard on) before
+    clustering — sketch recall, exact precision.
     """
     from medacy_spark.operators.graph import connected_components
 
     pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands).filter(
         F.col("n_bands") >= min_bands
     )
+    if verify_threshold is not None:
+        pairs = verify_near_dups(
+            df, pairs, text_col, id_col, threshold=verify_threshold
+        )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -402,13 +443,21 @@ def embedding_near_dups(
     )
 
 
+# Default hot-shingle cutoff for the exact-Jaccard join: a shingle shared
+# by more docs than this is boilerplate, and its join contribution is df²
+# rows — at web scale a single "terms of service" shingle would emit 10¹²
+# pairs. Deliberately far above any correctness-gate corpus (sf0.01 has
+# 500 docs, so df can never exceed 500 and the guard is a no-op there).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -418,10 +467,12 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df`` is the web-scale guard: a shingle appearing in more
     than that many documents ("of the and", boilerplate) pairs everything
-    containing it — its join contribution is df² rows. When set, such hot
-    shingles are dropped from the INTERSECTION join (set sizes still count
-    them, so the reported jaccard is a lower bound) and the number of
-    dropped shingles is logged — never a silent cap. Default None = exact.
+    containing it — its join contribution is df² rows. Such hot shingles
+    are dropped from the INTERSECTION join (set sizes still count them, so
+    the reported jaccard is a lower bound) and the number of dropped
+    shingles is logged — never a silent cap. The guard is ON by default
+    (DEFAULT_MAX_SHINGLE_DF); pass ``max_shingle_df=None`` to force the
+    exact-everywhere computation when the corpus is known boilerplate-free.
 
     Set sizes use the explode + map-side-combined count: the exchange
     carries one (id, count) row per doc. (An F.size-over-array variant
@@ -442,13 +493,16 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        hot = dfreq.filter(F.col("df") > max_shingle_df)
+        # checkpoint the (tiny) hot set so the logging count and the
+        # anti-join read ONE materialization, not two df scans
+        hot = dfreq.filter(F.col("df") > max_shingle_df).localCheckpoint(eager=False)
         n_hot = hot.count()
-        logging.getLogger(__name__).warning(
-            "ngram_jaccard_pairs: dropping %d shingles with df > %d from the "
-            "pair join (jaccard becomes a lower bound for affected pairs)",
-            n_hot, max_shingle_df,
-        )
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d from "
+                "the pair join (jaccard becomes a lower bound for affected "
+                "pairs)", n_hot, max_shingle_df,
+            )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -24,9 +24,61 @@ from medacy_spark.operators.sequence import LIKE_NUM, feature_window
 
 WINDOW_SIZES = {"clinical": 3, "systematic_review": 10, "fda_nano": 6, "lstm": 0}
 
+# The reference's built-in pipelines all feed pos_ into the CRF windows
+# (clinical_pipeline.py:41 and siblings).
+CLINICAL_FEATURES = ("pos_", "shape_", "prefix_", "suffix_", "word")
+
+# Universal-POS-ish closed classes for the deterministic rule tagger
+# (F18 pos_ source). First match wins — the ordering mirrors the CASE
+# chain replayed by the contract oracle; never reorder, only append.
+POS_DET = ["the", "a", "an", "this", "that", "these", "those"]
+POS_ADP = [
+    "of", "in", "on", "at", "by", "from", "with", "for", "to", "after",
+    "before", "via", "over", "under", "during",
+]
+POS_CCONJ = ["and", "or", "but"]
+POS_PRON = [
+    "he", "she", "it", "they", "we", "you", "i", "his", "her", "its",
+    "their", "him", "them",
+]
+POS_AUX = [
+    "was", "were", "is", "are", "be", "been", "am", "has", "have", "had",
+    "do", "does", "did",
+]
+
+
+def with_pos(
+    tokens: DataFrame, text_col: str = "word", out_col: str = "pos_"
+) -> DataFrame:
+    """F18 pos_ source: a deterministic rule tagger (closed-class lookup +
+    suffix heuristics) emitting universal-POS-ish tags as ONE pure column
+    expression — whole-stage codegen, zero Python, SQL-replayable (the
+    contract oracle runs the identical CASE chain in DuckDB).
+
+    The reference reads ``token.pos_`` from spaCy's statistical tagger
+    (discrete_feature_extractor.py:23); a statistical tagger isn't a
+    relational expression, so this is the documented deterministic
+    stand-in — same column contract, honestly weaker tags. The
+    PerceptronLearner (learners.py) is the trainable upgrade path."""
+    t = F.lower(F.col(text_col))
+    pos = (
+        F.when(F.col(text_col).rlike(r"^[^\w\s]+$"), F.lit("PUNCT"))
+        .when(F.col(text_col).rlike(LIKE_NUM), F.lit("NUM"))
+        .when(t.isin(POS_DET), F.lit("DET"))
+        .when(t.isin(POS_ADP), F.lit("ADP"))
+        .when(t.isin(POS_CCONJ), F.lit("CCONJ"))
+        .when(t.isin(POS_PRON), F.lit("PRON"))
+        .when(t.isin(POS_AUX), F.lit("AUX"))
+        .when(t.rlike(r"ly$"), F.lit("ADV"))
+        .when(t.rlike(r"(ing|ed)$"), F.lit("VERB"))
+        .otherwise(F.lit("NOUN"))
+    )
+    return tokens.withColumn(out_col, pos)
+
 
 def with_spacy_features(tokens: DataFrame, text_col: str = "word") -> DataFrame:
-    """F18: cheap spaCy-attribute analogues as pure column expressions."""
+    """F18: cheap spaCy-attribute analogues as pure column expressions
+    (incl. the pos_ rule tagger, so window configs listing 'pos_' run)."""
     t = F.col(text_col)
     shape = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(t, "[A-Z]", "X"), "[a-z]", "x"), r"\d", "d"
@@ -35,13 +87,14 @@ def with_spacy_features(tokens: DataFrame, text_col: str = "word") -> DataFrame:
     shape = F.regexp_replace(shape, r"(x)\1{3,}", "xxxx")
     shape = F.regexp_replace(shape, r"(X)\1{3,}", "XXXX")
     shape = F.regexp_replace(shape, r"(d)\1{3,}", "dddd")
-    return (
+    return with_pos(
         tokens.withColumn("prefix_", F.substring(t, 1, 1))
         .withColumn("suffix_", F.substring(t, -3, 3))
         .withColumn("shape_", shape)
         .withColumn("like_num", t.rlike(LIKE_NUM).cast("string"))
         .withColumn("is_punct", t.rlike(r"^[^\w\s]+$").cast("string"))
-        .withColumn("lower_", F.lower(t))
+        .withColumn("lower_", F.lower(t)),
+        text_col,
     )
 
 
@@ -100,10 +153,46 @@ def multi_model_merge(mention_dfs: Sequence[DataFrame], id_col: str = "doc_id") 
 def vocab_index(values: DataFrame, col: str) -> DataFrame:
     """A9: value -> contiguous index dictionary (nn/vectorizer.py:48-85).
     The reference uses nondeterministic first-seen order; we define the
-    documented deterministic order (ascending value) instead."""
+    documented deterministic order (ascending value) instead.
+
+    Scale shape (no global window): range-partition the distinct values on
+    the sort key, number locally per partition, and add driver-computed
+    per-partition offsets — the proven ``folds.assign_folds(scale=True)``
+    topology. The only driver traffic is one count per partition; no
+    SinglePartition exchange anywhere (plan-gated), so a 100x token
+    vocabulary indexes at full parallelism. Output is bit-identical to a
+    global ``row_number() over (order by value)``."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(col)
-    return values.select(col).distinct().withColumn(
-        "index", (F.row_number().over(w) - 1).cast("int")
+    spark = values.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        values.select(col).distinct()
+        .repartitionByRange(n_parts, col)
+        .sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the (sampled) range boundaries so the counts pass and the
+        # numbering pass see the same partitioning
+        .localCheckpoint(eager=False)
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in d.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    )
+    if not counts:
+        return d.select(col).withColumn("index", F.lit(0).cast("int"))
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(o) for o in offsets.values()]),
+        ),
+        F.col("_pid"),
+    )
+    wl = Window.partitionBy("_pid").orderBy(col)
+    return d.select(
+        col, (off_expr + F.row_number().over(wl) - 1).cast("int").alias("index")
     )

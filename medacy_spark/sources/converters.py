@@ -31,7 +31,14 @@ def line_word_index(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     line_no is 1-based, word_no 0-based (the con convention). Whitespace
     runs inside a line split words (reference whitespace_pattern
     con_to_brat.py:28). One window pass per level — both partition by doc.
-    """
+
+    Offsets are EXACT for arbitrary whitespace (tabs, double spaces): the
+    line is split on SINGLE whitespace characters, so every element —
+    including the empty strings a run produces — consumed exactly
+    ``length + 1`` characters, and the running sum recovers the true char
+    offset. word_no counts only the non-empty elements (the reference's
+    ``\\s+``-split word indices); empties are dropped after both running
+    computations. Same cost as the single-space path: one window."""
     lines = documents.select(
         id_col, F.posexplode(F.split("text", "\n")).alias("line_idx", "line")
     )
@@ -43,24 +50,26 @@ def line_word_index(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     lines = lines.withColumn("line_start", line_start).withColumn(
         "line_no", (F.col("line_idx") + 1).cast("int")
     )
-    words = lines.select(
+    elems = lines.select(
         id_col, "line_no", "line_start",
-        F.posexplode(F.split("line", r"\s+")).alias("word_no", "word"),
-    ).filter(F.length("word") > 0)
-    # per-line char offset of each word: running sum is not enough when
-    # whitespace runs vary, so recover with instr on the remaining suffix —
-    # for single-space corpora the running sum is exact and cheaper
-    ww = Window.partitionBy(id_col, "line_no").orderBy("word_no")
-    off_in_line = F.coalesce(
-        F.sum(F.length("word") + 1).over(ww.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    ).cast("long")
-    return words.select(
-        id_col, "line_no",
-        F.col("word_no").cast("int").alias("word_no"),
-        (F.col("line_start") + off_in_line).alias("abs_start"),
-        (F.col("line_start") + off_in_line + F.length("word")).cast("long").alias("abs_end"),
-        "word",
+        F.posexplode(F.split("line", r"\s")).alias("elem_idx", "word"),
+    )
+    ww = Window.partitionBy(id_col, "line_no").orderBy("elem_idx")
+    prev = ww.rowsBetween(Window.unboundedPreceding, -1)
+    off_in_line = F.coalesce(F.sum(F.length("word") + 1).over(prev), F.lit(0)).cast("long")
+    word_no = F.coalesce(
+        F.sum((F.length("word") > 0).cast("int")).over(prev), F.lit(0)
+    ).cast("int")
+    return (
+        elems.withColumn("_off", off_in_line)
+        .withColumn("word_no", word_no)
+        .filter(F.length("word") > 0)
+        .select(
+            id_col, "line_no", "word_no",
+            (F.col("line_start") + F.col("_off")).alias("abs_start"),
+            (F.col("line_start") + F.col("_off") + F.length("word")).cast("long").alias("abs_end"),
+            "word",
+        )
     )
 
 

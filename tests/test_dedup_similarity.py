@@ -185,3 +185,47 @@ def test_ivf_kmeans_recall_sf001(spark):
     iv = {(r["q_id"], r["vec_id"]) for r in
           ivf_topk(emb, q, n_cells=16, n_probe=8, k=10, kmeans_iters=1).collect()}
     assert len(bf & iv) / len(bf) >= 0.9
+
+
+def test_hot_shingle_guard_default_on_boilerplate(spark, caplog):
+    """A boilerplate shingle planted across >1000 docs trips the DEFAULT
+    guard: the run completes, the drop is logged (never silent), and
+    boilerplate-only doc pairs do not flood the output."""
+    import logging
+
+    n_docs = 1100
+    rows = [(i, f"terms of service apply w{i} x{i} y{i} z{i}") for i in range(n_docs)]
+    # one genuine near-dup pair sharing real content beyond the boilerplate
+    rows.append((n_docs, "terms of service apply w7 x7 y7 q"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="medacy_spark.operators.dedup"):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(d, n=3, threshold=0.3).collect()}
+    assert any("dropping" in rec.message for rec in caplog.records)
+    # the only surviving pair is the genuine near-dup (7, 1100)
+    assert set(pairs) == {(7, n_docs)}
+    # explicit None still computes the exact quadratic variant on demand
+    exact = ngram_jaccard_pairs(
+        d.filter(F.col("doc_id") < 5), n=3, threshold=0.05, max_shingle_df=None
+    ).count()
+    assert exact == 10  # all C(5,2) pairs share the boilerplate shingles
+
+
+def test_dedup_corpus_verify_threshold(spark):
+    """verify_threshold confirms sketch candidates by exact Jaccard before
+    clustering: a sketch-level collision below the exact threshold no
+    longer deletes a survivor."""
+    from medacy_spark.operators.dedup import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),  # true near-dup of 0 (identical shingles)
+        (2, "completely different words entirely unrelated content here now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(d, min_bands=1, verify_threshold=0.8).collect()
+    )
+    assert kept == [0, 2]

@@ -91,3 +91,51 @@ def test_resegment(spark):
     # '500' and 'mg' collapse into one token id; later tokens shift down
     assert got["took"] == 0 and got["500"] == 1 and got["mg"] == 1
     assert got["po"] == 2 and got["daily"] == 3
+
+
+def test_with_pos_rule_tagger(spark):
+    """F18 pos_ source: closed classes, suffix heuristics, NUM/PUNCT."""
+    from medacy_spark.operators.features import with_pos
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame(
+        [(1, "the patient was quickly given 20 tablets and improved .")],
+        "doc_id long, text string",
+    )
+    t = with_pos(tokenize_native(docs))
+    got = {r["word"]: r["pos_"] for r in t.collect()}
+    assert got == {
+        "the": "DET", "patient": "NOUN", "was": "AUX", "quickly": "ADV",
+        "given": "NOUN", "20": "NUM", "tablets": "NOUN", "and": "CCONJ",
+        "improved": "VERB", ".": "PUNCT",
+    }
+
+
+def test_pos_drop_with_real_tagger_and_windows(spark):
+    """P10 over REAL pos_ values: ADP/DET tokens vanish from the window
+    context unless they are targets, and pos_ flows through the window
+    features (clinical_pipeline.py:41 feature set)."""
+    from medacy_spark.operators.features import (
+        CLINICAL_FEATURES, extract_feature_tuples, with_pos,
+    )
+    from medacy_spark.operators.misc import pos_drop
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame(
+        [(1, "dose of aspirin in the morning .")], "doc_id long, text string"
+    )
+    toks = with_pos(tokenize_native(docs)).withColumn(
+        "is_target", F.col("word") == F.lit("in")
+    )
+    kept = [r["word"] for r in pos_drop(toks, ("ADP", "DET")).orderBy("pos").collect()]
+    # 'of' (ADP) and 'the' (DET) drop; target 'in' survives its own drop
+    assert kept == ["dose", "aspirin", "in", "morning", "."]
+
+    # pos_ is a first-class window feature now
+    ft = extract_feature_tuples(
+        tokenize_native(docs), window_size=1, feature_cols=list(CLINICAL_FEATURES),
+    )
+    feats = ft.filter(F.col("sent_id") == 0).first()["features"]
+    assert feats[1]["0:pos_"] == "ADP"       # 'of'
+    assert feats[1]["-1:pos_"] == "NOUN"     # 'dose'
+    assert feats[1]["1:pos_"] == "NOUN"      # 'aspirin'

@@ -189,3 +189,23 @@ def test_sketch_plans_no_cross_product_and_partial_agg(spark):
 
     p_ja = ngram_jaccard_pairs(d)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p_ja
+
+
+def test_vocab_index_no_global_window(spark, doc_ids):
+    """A9 scale gate: vocab_index must not plan a SinglePartition window
+    exchange (the global-orderBy shape) — range partition + per-partition
+    offsets instead — while staying bit-identical to the global ranking."""
+    from medacy_spark.corpus.synth import clinical_documents
+    from medacy_spark.operators.features import vocab_index
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    toks = tokenize_native(clinical_documents(doc_ids).select("doc_id", "text"))
+    vi = vocab_index(toks, "word")
+    plan = vi._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = sorted((r["word"], r["index"]) for r in vi.collect())
+    words = sorted(set(w for w, _ in rows))
+    assert rows == [(w, i) for i, w in enumerate(words)]
+    # empty input keeps the schema
+    empty = spark.createDataFrame([], "word string")
+    assert vocab_index(empty, "word").count() == 0

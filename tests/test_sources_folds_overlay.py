@@ -306,3 +306,28 @@ def test_assign_folds_scale_path_parity_and_plan(spark):
     assert scaled.exceptAll(exact).count() == 0
     plan = scaled._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_line_word_index_mixed_whitespace_exact(spark):
+    """Offsets stay exact with tabs and multi-space runs — verified against
+    Python's own str.find ground truth for every word."""
+    from medacy_spark.sources.converters import line_word_index
+
+    text = "a  bb\tccc\n\td x\t\t y\n  zz  "
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = sorted(
+        (r["line_no"], r["word_no"], r["abs_start"], r["abs_end"], r["word"])
+        for r in line_word_index(docs).collect()
+    )
+    # ground truth: scan each line, word_no over \s+-split non-empties
+    import re
+
+    want = []
+    off = 0
+    for ln, line in enumerate(text.split("\n"), start=1):
+        wn = 0
+        for m in re.finditer(r"\S+", line):
+            want.append((ln, wn, off + m.start(), off + m.end(), m.group()))
+            wn += 1
+        off += len(line) + 1
+    assert got == sorted(want)
