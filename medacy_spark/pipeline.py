@@ -16,13 +16,15 @@ compiles the same spec into the Spark operators:
   metamap +
   semantic_types   → linking.cui_overlay include list ('none' → [] like
                      MetaMapOverlayer(semantic_type_labels=[]))
-  learner          → 'CRF' → learners.PerceptronLearner (the documented
-                     feature-based sequence-model stand-in; torch /
-                     sklearn_crfsuite are not in this container, so
+  learner          → 'CRF' → learners.CRFLearner (a REAL numpy
+                     linear-chain CRF: l2-regularized SGD with exact
+                     forward-backward, matching crf_learner.py:8-13
+                     algorithm='l2sgd'/c2=0.1 — no sklearn_crfsuite
+                     needed); torch is not in this container, so
                      'BiLSTM' and 'BERT' raise NotImplementedError
-                     exactly where the reference would construct them);
-                     'frequency' / 'perceptron' name our learners
-                     directly.
+                     exactly where the reference would construct them;
+                     'frequency' / 'perceptron' name our other
+                     learners directly.
 
 Validation errors mirror the reference's messages (missing required
 keys, unknown tokenizer, semantic_types required/invalid).
@@ -91,21 +93,26 @@ class SparkPipeline:
         )
 
     def make_learner(self):
-        from medacy_spark.learners import PerceptronLearner
+        from medacy_spark.learners import CRFLearner, PerceptronLearner
         from medacy_spark.model import FrequencyLearner
 
         sel = self.spec["learner"]
-        if sel in ("CRF", "perceptron"):
-            # honor the spec's window verbatim (0 = emission-only, the
-            # lstm-pipeline default); default to 2 when the spec omits it
-            w = self.window_size if "window_size" in self.spec else 2
+        # honor the spec's window verbatim (0 = emission-only, the
+        # lstm-pipeline default); default to 2 when the spec omits it
+        w = self.window_size if "window_size" in self.spec else 2
+        if sel == "CRF":
+            # a real linear-chain CRF now backs the spec's 'CRF'
+            # (learners.CRFLearner: numpy l2-SGD with forward-backward,
+            # matching crf_learner.py:8-13 algorithm='l2sgd'/c2=0.1)
+            return CRFLearner(window=w)
+        if sel == "perceptron":
             return PerceptronLearner(window=w)
         if sel == "frequency":
             return FrequencyLearner()
         if sel in ("BiLSTM", "BERT"):
             raise NotImplementedError(
                 f"'{sel}' requires torch, which is not in this container; "
-                "'CRF' maps to the averaged structured perceptron"
+                "'CRF' maps to the numpy linear-chain CRF"
             )
         raise ValueError(
             f"'learner' must be 'CRF', 'BiLSTM', or 'BERT', but is {sel}"

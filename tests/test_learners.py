@@ -123,3 +123,79 @@ def test_perceptron_viterbi_uses_transitions():
     assert p([words]) == [gold]
     # and a run of a different length still alternates from the start
     assert p([["m"] * 5]) == [["Drug", "Dose", "Drug", "Dose", "Drug"]]
+
+
+# ------------------------------------------------------------------- CRF
+
+
+def _conflict_corpus(n=40, minority=0.3):
+    """Identical contexts with 70/30 conflicting annotations (the classic
+    inter-annotator-disagreement shape), deterministically interleaved."""
+    cut = int(n * minority)
+    exs = []
+    for i in range(n):
+        words = ["take", "ibuprofen", "200", "mg", "now", "."]
+        gold = (["O"] * 6) if i < cut else ["O", "Drug", "Dose", "Dose", "O", "O"]
+        exs.append(((i * 17) % n, words, gold))
+    return [(w, g) for _, w, g in sorted(exs)]
+
+
+def test_crf_separates_ambiguous_contexts(spark, ambiguous_corpus):
+    """The CRF matches the perceptron's perfect separation on the clean
+    context-disambiguation corpus (crf_learner.py semantics: l2sgd,
+    c2=0.1)."""
+    from medacy_spark.learners import CRFLearner
+
+    docs, gold = ambiguous_corpus
+    crf = Model(spark, CRFLearner()).fit(docs, gold)
+    f = _strict_f1(gold, crf.predict(docs))
+    assert f["Drug"] == 1.0 and f["ADE"] == 1.0 and f["system"] == 1.0
+
+
+def test_crf_beats_perceptron_under_conflicting_annotations():
+    """Probabilistic training recovers the MAJORITY annotation under 70/30
+    label conflict; the perceptron's mistake-driven updates thrash between
+    the two versions and emit an inconsistent sequence."""
+    from medacy_spark.learners import CRFLearner
+
+    train = _conflict_corpus()
+    majority = ["O", "Drug", "Dose", "Dose", "O", "O"]
+    words = ["take", "ibuprofen", "200", "mg", "now", "."]
+    crf_pred = CRFLearner().fit(train)([words])[0]
+    perc_pred = PerceptronLearner().fit(train)([words])[0]
+    assert crf_pred == majority
+    assert perc_pred != majority  # thrashes (inconsistent mixture state)
+    crf_ok = sum(a == b for a, b in zip(crf_pred, majority))
+    perc_ok = sum(a == b for a, b in zip(perc_pred, majority))
+    assert crf_ok > perc_ok
+
+
+def test_crf_fit_deterministic_and_save_load(spark, ambiguous_corpus, tmp_path):
+    """Zero-RNG SGD: identical refits bit-equal; pickle round-trip + the
+    broadcast Arrow scoring path produce identical predictions."""
+    from medacy_spark.learners import CRFLearner
+
+    docs, gold = ambiguous_corpus
+    a = Model(spark, CRFLearner(epochs=3)).fit(docs, gold)
+    b = Model(spark, CRFLearner(epochs=3)).fit(docs, gold)
+    assert a.learner.weights == b.learner.weights
+    path = str(tmp_path / "crf.pkl")
+    a.save(path)
+    loaded = Model.load(spark, path)
+    assert isinstance(loaded.learner, CRFLearner)
+    p1 = sorted(map(tuple, a.predict(docs).collect()))
+    p2 = sorted(map(tuple, loaded.predict(docs).collect()))
+    assert p1 == p2
+
+
+def test_crf_sharded_ipm_path(spark, ambiguous_corpus):
+    """fit_sharded trains CRF locals (the fresh()-prototype dispatch) and
+    mixes their sparse dicts — same IPM machinery as the perceptron."""
+    from medacy_spark.learners import CRFLearner
+
+    docs, gold = ambiguous_corpus
+    m = Model(spark, CRFLearner(epochs=3))
+    m.driver_fit_max_sentences = 1  # forces the sharded path
+    m.fit(docs, gold)
+    f = _strict_f1(gold, m.predict(docs))
+    assert f["system"] == 1.0
