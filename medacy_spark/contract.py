@@ -2337,15 +2337,27 @@ def _pos_case_sql(word: str = "word") -> str:
 
 
 @q("pos_features", BASE_CTES + f"""
-SELECT doc_id, pos, word, {_pos_case_sql()} AS pos_
-FROM tokens WHERE doc_id < 150
-ORDER BY doc_id, pos
+, pt AS (
+  SELECT doc_id, pos, word, {_pos_case_sql()} AS pos_
+  FROM tokens WHERE doc_id < 150)
+SELECT doc_id, pos, word, pos_,
+       CASE WHEN pos_ IN ('VERB', 'AUX') THEN word
+            ELSE coalesce(
+              last_value(CASE WHEN pos_ IN ('VERB', 'AUX') THEN word END
+                         IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              first_value(word) OVER (PARTITION BY doc_id ORDER BY pos))
+       END AS head_
+FROM pt ORDER BY doc_id, pos
 """)
 def q_pos_features(spark, sf):
-    from medacy_spark.operators.features import with_pos
+    from medacy_spark.operators.features import with_head, with_pos
 
-    t = tokens_df(spark, sf).filter(F.col("doc_id") < 150)
-    return with_pos(t).select("doc_id", "pos", "word", "pos_").orderBy(
+    t = with_pos(tokens_df(spark, sf).filter(F.col("doc_id") < 150))
+    # the web corpus has no sentence structure: one sequence per doc
+    t = t.withColumn("sent_id", F.lit(0)).withColumn("tok_id", F.col("pos"))
+    return with_head(t).select("doc_id", "pos", "word", "pos_", "head_").orderBy(
         "doc_id", "pos"
     )
 

@@ -76,9 +76,42 @@ def with_pos(
     return tokens.withColumn(out_col, pos)
 
 
+def with_head(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "word",
+    out_col: str = "head_",
+) -> DataFrame:
+    """F18 head_ source: the reference's drug_event_pipeline feeds
+    ``token.head`` (the syntactic head's surface form) into the CRF
+    windows (drug_event_pipeline.py:44). A dependency parser is not a
+    relational expression, so this is the documented deterministic
+    stand-in: head = the nearest PRECEDING verb/aux in the sentence
+    (clause anchor), else the sentence-initial token; a verb is its own
+    head (the root convention). One window pass over (doc, sent) — the
+    tokenizer's own partitioning."""
+    from pyspark.sql import Window
+
+    t = with_pos(tokens, text_col, "_headpos") if "_headpos" not in tokens.columns else tokens
+    w = Window.partitionBy(id_col, "sent_id").orderBy("tok_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    is_verb = F.col("_headpos").isin("VERB", "AUX")
+    last_verb = F.last(
+        F.when(is_verb, F.col(text_col)), ignorenulls=True
+    ).over(prev)
+    first_tok = F.first(text_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    head = F.when(is_verb, F.col(text_col)).otherwise(
+        F.coalesce(last_verb, first_tok)
+    )
+    return t.withColumn(out_col, head).drop("_headpos")
+
+
 def with_spacy_features(tokens: DataFrame, text_col: str = "word") -> DataFrame:
     """F18: cheap spaCy-attribute analogues as pure column expressions
-    (incl. the pos_ rule tagger, so window configs listing 'pos_' run)."""
+    (incl. the pos_ rule tagger, so window configs listing 'pos_' run;
+    head_ comes from with_head when a pipeline lists it)."""
     t = F.col(text_col)
     shape = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(t, "[A-Z]", "X"), "[a-z]", "x"), r"\d", "d"
@@ -111,6 +144,8 @@ def extract_feature_tuples(
     Ordering inside the arrays follows tok_id (deterministic).
     """
     t = with_spacy_features(tokens)
+    if "head_" in feature_cols:
+        t = with_head(t, id_col)
     t = feature_window(
         t, k=window_size, feature_cols=list(feature_cols),
         part_cols=(id_col, "sent_id"), order_col="tok_id",

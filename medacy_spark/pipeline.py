@@ -41,6 +41,15 @@ from pyspark.sql import DataFrame, SparkSession
 REQUIRED_KEYS = ["learner", "spacy_pipeline"]
 TOKENIZERS = ("clinical", "systematic_review", "character")
 
+# the reference's pipelines name spaCy attributes both with and without
+# the trailing underscore ('pos_' in clinical_pipeline.py:41, 'pos' in
+# lstm_systematic_review_pipeline.py:51) — normalize either spelling to
+# our column names so reference specs are copy-pastable
+FEATURE_ALIASES = {
+    "text": "word", "pos": "pos_", "shape": "shape_", "prefix": "prefix_",
+    "suffix": "suffix_", "head": "head_", "lower": "lower_",
+}
+
 
 class SparkPipeline:
     """A compiled pipeline: tokenize → (overlay) → featurize → model."""
@@ -50,10 +59,12 @@ class SparkPipeline:
         self.entities = list(entities)
         self.window_size = int(spec.get("window_size", 0))
         # the reference's FeatureExtractor defaults to spacy_features=
-        # ['text'] when the spec omits the key (json_to_pipeline.py /
-        # discrete_feature_extractor.py:23) — 'word' is our surface-form
-        # analogue; richer feature sets are opt-in via the spec
-        self.feature_cols = tuple(spec.get("spacy_features", ["word"]))
+        # ['text'] when the spec omits the key (json_to_pipeline.py:136) —
+        # 'word' is our surface-form analogue; richer feature sets are
+        # opt-in via the spec, either attribute spelling accepted
+        self.feature_cols = tuple(
+            FEATURE_ALIASES.get(f, f) for f in spec.get("spacy_features", ["word"])
+        )
         self.tokenizer = spec.get("tokenizer")
         self.semantic_types = spec.get("semantic_types")
 

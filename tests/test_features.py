@@ -139,3 +139,47 @@ def test_pos_drop_with_real_tagger_and_windows(spark):
     assert feats[1]["0:pos_"] == "ADP"       # 'of'
     assert feats[1]["-1:pos_"] == "NOUN"     # 'dose'
     assert feats[1]["1:pos_"] == "NOUN"      # 'aspirin'
+
+
+def test_with_head_heuristic(spark):
+    """F18 head_ stand-in: nearest preceding verb/aux anchors the clause;
+    a verb heads itself; pre-verb tokens head to the sentence start."""
+    from medacy_spark.operators.features import with_head
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame(
+        [(1, "patient was given aspirin . severe rash followed quickly .")],
+        "doc_id long, text string",
+    )
+    t = with_head(tokenize_native(docs))
+    got = [(r["word"], r["head_"]) for r in t.orderBy("pos").collect()]
+    assert got == [
+        ("patient", "patient"),   # pre-verb -> sentence-initial
+        ("was", "was"),           # aux heads itself
+        ("given", "was"),         # 'given' tags NOUN (suffix rule) -> last verb
+        ("aspirin", "was"),
+        (".", "was"),
+        ("severe", "severe"),     # new sentence, no verb yet
+        ("rash", "severe"),
+        ("followed", "followed"), # VERB (-ed) heads itself
+        ("quickly", "followed"),
+        (".", "followed"),
+    ]
+
+
+def test_feature_tuples_with_head_column(spark):
+    """'head' in a pipeline's spacy_features (drug_event_pipeline.py:44)
+    flows through the window machinery."""
+    from medacy_spark.operators.features import extract_feature_tuples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame(
+        [(1, "dose was increased today .")], "doc_id long, text string"
+    )
+    ft = extract_feature_tuples(
+        tokenize_native(docs), window_size=1, feature_cols=("word", "head_")
+    )
+    feats = ft.first()["features"]
+    assert feats[2]["0:head_"] == "increased"  # -ed verb heads itself
+    assert feats[3]["0:head_"] == "increased"  # 'today' -> last verb
+    assert feats[0]["1:head_"] == "was"        # neighbor head feature

@@ -156,3 +156,24 @@ def test_spec_entities_key_validates(spark):
     json_to_pipeline(
         {"learner": "CRF", "spacy_pipeline": "en", "entities": ["Drug"]}
     ).validate_entities(gold)
+
+
+def test_spec_feature_aliases_and_head(spark):
+    """Reference pipelines spell attributes both ways ('pos_' vs 'pos',
+    'text'); either works, and 'head' flows through the window features
+    (drug_event_pipeline.py:44 feature set)."""
+    pipe = json_to_pipeline({
+        "learner": "CRF", "spacy_pipeline": "en", "window_size": 1,
+        "spacy_features": ["pos", "shape", "prefix", "suffix", "like_num",
+                           "text", "head"],
+    })
+    assert pipe.feature_cols == (
+        "pos_", "shape_", "prefix_", "suffix_", "like_num", "word", "head_"
+    )
+    docs = spark.createDataFrame(
+        [(1, "dose was increased today .")], "doc_id long, text string"
+    )
+    feats = pipe.featurize(pipe.tokenize(docs)).first()["features"]
+    assert feats[3]["0:head_"] == "increased"
+    assert feats[3]["0:pos_"] == "NOUN"
+    assert feats[3]["0:word"] == "today"

@@ -57,6 +57,33 @@ def main() -> None:
         plan_of(lj),
     ))
 
+    from medacy_spark.corpus import lexicons as lex
+    from medacy_spark.corpus.synth import rx_documents
+    from medacy_spark.operators.matchers import unit_spans
+    from medacy_spark.operators.mentions import gazetteer_mentions
+
+    rx_toks = tokenize_native(rx_documents(ids))
+    gaz = spark.createDataFrame(
+        [("Drug", t) for t in lex.DRUGS + lex.PHRASE_DRUGS],
+        "label string, term string",
+    )
+    pm = gazetteer_mentions(rx_toks, gaz, max_ngram=3)
+    sections.append((
+        "Phrase gazetteer n-gram join (J8, round 4)",
+        "Candidate n-grams from ONE lead() window (explode factor = distinct "
+        "term lengths in the gazetteer, here 3) + BroadcastHashJoin — no "
+        "SortMergeJoin, no extra exchange beyond the tokenizer's.",
+        plan_of(pm),
+    ))
+
+    us = unit_spans(rx_toks)
+    sections.append((
+        "Full unit-matcher stack (W7, round 4)",
+        "All 9 UnitOverlayer pattern families in ONE window pass (lead/lag "
+        "neighborhood) + array-explode: zero joins, zero extra exchanges.",
+        plan_of(us),
+    ))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical plans of the headline operators\n\n")
         f.write("Regenerate with `python tools/dump_plans.py`.\n\n")
