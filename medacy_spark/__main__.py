@@ -82,15 +82,13 @@ def main(argv: list[str] | None = None) -> int:
             docs, _ = _dataset(spark, args.dataset)
             tok = pipe.tokenize if pipe else None
             mentions = Model.load(spark, args.model, tokenizer=tok).predict(docs)
-            # cache: the sink pass and the count would otherwise re-run
-            # the whole tokenize + broadcast-model scoring pipeline
-            mentions = mentions.persist()
             # pass the doc spine: every input doc gets a .ann file, empty
             # for mention-less docs (the reference's one-.ann-per-.txt
-            # predict layout)
+            # predict layout). The sink is the single consumer of
+            # `mentions`, so no cache is needed; the file count reads the
+            # doc spine.
             write_brat_dir(mentions, args.output, documents=docs)
             n = docs.select("doc_id").distinct().count()
-            mentions.unpersist()
             print(f"{n} .ann files written to {args.output}")
         else:  # validate
             docs, gold = _dataset(spark, args.dataset)

@@ -65,7 +65,14 @@ def token_features(words: Sequence[str], i: int, k: int = 2) -> list[int]:
 
 
 def _trans_feat(prev_label: str) -> int:
-    return _h("prev_label=" + prev_label)
+    # transition ids live in [D, 2D): emission features hash into [0, D),
+    # so a transition weight can never collide with an emission weight in
+    # the shared (label, fid) dict. Matters for the CRF, which trains
+    # emissions and transitions in SEPARATE arrays and exports both into
+    # one dict — an in-range collision would silently overwrite a trained
+    # emission weight at export (the perceptron trains through the
+    # aliased dict, so it was self-consistent either way).
+    return D + _h("prev_label=" + prev_label)
 
 
 class PerceptronLearner:
@@ -321,9 +328,9 @@ class CRFLearner(PerceptronLearner):
         # standard practice); decoding stays full-sequence Viterbi.
         max_seg = self.max_seg
         examples = [
-            (list(w)[j : j + max_seg], list(g)[j : j + max_seg])
-            for w, g in examples
-            for j in range(0, max(len(list(w)), 1), max_seg)
+            (w[j : j + max_seg], g[j : j + max_seg])
+            for w, g in ((list(w), list(g)) for w, g in examples)
+            for j in range(0, max(len(w), 1), max_seg)
         ]
         if labels is None:
             label_set = {"O"}

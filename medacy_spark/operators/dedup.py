@@ -315,6 +315,10 @@ def verify_near_dups(
     """
     if max_shingle_df is None:
         max_shingle_df = DEFAULT_MAX_SHINGLE_DF
+    # the pair set is read three times (both union sides + the final
+    # intersect join) — cut its lineage so an expensive candidate
+    # generator (minhash band self-join) runs once, not three times
+    pairs = pairs.localCheckpoint(eager=False)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))

@@ -92,7 +92,12 @@ def with_head(
     tokenizer's own partitioning."""
     from pyspark.sql import Window
 
-    t = with_pos(tokens, text_col, "_headpos") if "_headpos" not in tokens.columns else tokens
+    # reuse an existing pos_ column (with_spacy_features already computed
+    # it) instead of re-running the CASE chain
+    if "pos_" in tokens.columns:
+        t = tokens.withColumn("_headpos", F.col("pos_"))
+    else:
+        t = with_pos(tokens, text_col, "_headpos")
     w = Window.partitionBy(id_col, "sent_id").orderBy("tok_id")
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
     is_verb = F.col("_headpos").isin("VERB", "AUX")

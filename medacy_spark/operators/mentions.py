@@ -91,15 +91,17 @@ def gazetteer_mentions(
                 ),
             )
         )
-    has_pos = "pos" in tokens.columns
+    # fixed output schema regardless of input shape: pos is null when the
+    # token stream carries none (a schema that forks on the input breaks
+    # unions of mention tables from different tokenizers)
+    pos_col = F.col("pos") if "pos" in tokens.columns else F.lit(None).cast("int")
     spans = t.select(
         id_col,
         "sent_id",
-        *(["pos"] if has_pos else []),
+        pos_col.alias("pos"),
         F.explode(F.filter(F.array(*cands), lambda c: c.isNotNull())).alias("g"),
     ).select(
-        id_col, "sent_id",
-        *(["pos"] if has_pos else []),
+        id_col, "sent_id", "pos",
         F.col("g.norm").alias("_norm"),
         F.col("g.n").alias("n"),
         F.col("g.start").alias("start"),
@@ -108,8 +110,7 @@ def gazetteer_mentions(
     )
     g = F.broadcast(gazetteer.select(F.lower("term").alias("_norm"), "label"))
     return spans.join(g, "_norm").select(
-        id_col, "sent_id",
-        *(["pos", "n"] if has_pos else []),
+        id_col, "sent_id", "pos", "n",
         F.col("label").alias("tag"),
         "start", "end", "text",
     )
@@ -130,6 +131,11 @@ def lexicon_overlay(
     pos p over n tokens covers p..p+n-1) — sequence+explode, then one
     co-partitioned aggregation back onto (doc, pos); no interval join.
     """
+    if "pos" not in tokens.columns:
+        raise ValueError(
+            "lexicon_overlay needs a doc-wide 'pos' column (tokenize_native "
+            "keeps one); without it covered-token positions are undefined"
+        )
     labels = sorted(
         r["label"] for r in gazetteer.select("label").distinct().collect()
     )

@@ -76,8 +76,10 @@ def write_brat_dir(
     os.makedirs(out_dir, exist_ok=True)
     lines = to_ann_lines(mentions, id_col)
     if documents is not None:
+        # full outer: spine-only docs get an empty file AND mentions for
+        # docs outside the spine still write (never silently dropped)
         spine = documents.select(id_col).distinct()
-        lines = spine.join(lines, id_col, "left").select(
+        lines = spine.join(lines, id_col, "full_outer").select(
             id_col, F.coalesce(F.col("line"), F.lit("")).alias("line")
         )
     t_num = F.regexp_extract("line", r"^T(\d+)\t", 1).cast("int")
