@@ -8,9 +8,11 @@ per pipeline: clinical 3, systematic-review 10, fda-nano 6, lstm 0
 (clinical_pipeline.py:41 etc.).
 
 spaCy-derived token attributes (F18) are re-expressed as columns:
-prefix_/suffix_/shape_/like_num/is_punct from pure string functions; pos_
-and dependency heads would come from the model-scoring UDF stage when a
-real parser plugs in.
+prefix_/suffix_/shape_/like_num/is_punct from pure string functions;
+pos_ from the deterministic rule tagger (with_pos) and head_ from the
+clause-anchor heuristic (with_head) — documented stand-ins for spaCy's
+statistical tagger/parser, which are not relational expressions; a real
+model would plug into the Arrow scoring stage (operators/ner_model.py).
 """
 
 from __future__ import annotations
@@ -236,3 +238,43 @@ def vocab_index(values: DataFrame, col: str) -> DataFrame:
     return d.select(
         col, (off_expr + F.row_number().over(wl) - 1).cast("int").alias("index")
     )
+
+
+def detect_window_size(feature_tuples: DataFrame, id_col: str = "doc_id") -> int:
+    """W8: infer the feature window size from already-extracted features
+    (nn/vectorizer.py:101-131 find_window_size). Reference semantics
+    replicated: take the LONGEST sentence (ties broken deterministically
+    by smallest (doc, sent) — the reference keeps the first-seen longest,
+    an iteration-order artifact), inspect its CENTER token's feature keys,
+    lowest = int(key[:2]) for '-'-prefixed keys (single-digit windows
+    only, as the reference docstring admits), highest = int(key[0]) for
+    numeric-prefixed keys; asymmetry raises with the reference's message.
+
+    Top-1 by length plans as TakeOrderedAndProject (no full sort) and the
+    single-row collect is config inference, not a data-plane action."""
+    ft = feature_tuples.select(
+        id_col, "sent_id", F.size("features").alias("_n"), "features"
+    )
+    top = ft.orderBy(F.col("_n").desc(), id_col, "sent_id").limit(1)
+    center = F.element_at(
+        "features", (F.floor(F.col("_n") / 2) + 1).cast("int")
+    )
+    ks = F.map_keys(center)
+    neg = F.transform(
+        F.filter(ks, lambda k: k.startswith("-")),
+        lambda k: F.substring(k, 1, 2).cast("int"),
+    )
+    pos = F.transform(
+        F.filter(ks, lambda k: F.substring(k, 1, 1).rlike("[0-9]")),
+        lambda k: F.substring(k, 1, 1).cast("int"),
+    )
+    row = top.select(
+        F.coalesce(F.array_min(neg), F.lit(0)).alias("lowest"),
+        F.coalesce(F.array_max(pos), F.lit(0)).alias("highest"),
+    ).collect()
+    if not row:
+        return 0
+    lowest, highest = row[0]["lowest"], row[0]["highest"]
+    if -lowest != highest:
+        raise ValueError("Word feature window is asymmetrical")
+    return int(highest)

@@ -183,3 +183,38 @@ def test_feature_tuples_with_head_column(spark):
     assert feats[2]["0:head_"] == "increased"  # -ed verb heads itself
     assert feats[3]["0:head_"] == "increased"  # 'today' -> last verb
     assert feats[0]["1:head_"] == "was"        # neighbor head feature
+
+
+def test_detect_window_size(spark):
+    """W8: window size recovered from the longest sentence's center-token
+    keys (nn/vectorizer.py:101-131), asymmetry raises."""
+    import pytest
+
+    from medacy_spark.operators.features import (
+        detect_window_size, extract_feature_tuples,
+    )
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = spark.createDataFrame(
+        [(1, "a bb ccc dddd eeeee ffff ggg hh i"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    for k in (0, 1, 3):
+        ft = extract_feature_tuples(
+            tokenize_native(docs), window_size=k, feature_cols=["word"]
+        )
+        assert detect_window_size(ft) == k
+
+    # asymmetric windows raise with the reference's message
+    ft = extract_feature_tuples(
+        tokenize_native(docs), window_size=2, feature_cols=["word"]
+    )
+    broken = ft.withColumn(
+        "features",
+        F.transform(
+            "features",
+            lambda m: F.map_filter(m, lambda key, _: ~key.startswith("-2")),
+        ),
+    )
+    with pytest.raises(ValueError, match="asymmetrical"):
+        detect_window_size(broken)
