@@ -283,9 +283,11 @@ class CRFLearner(PerceptronLearner):
     forward-backward marginals in log space give the expected feature
     counts, the gradient is empirical − expected, and the L2 term is
     applied with the standard weight-scaling trick (one scalar decay per
-    step, never an O(D) pass). Learning rate follows Bottou's schedule
-    eta_t = eta0 / (1 + eta0·c2·t), the one crfsuite's l2sgd calibrates
-    toward. No RNG anywhere: zero init, in-order passes — bit-reproducible.
+    step, never an O(D) pass), its share matched to crfsuite's relative
+    regularizer strength under the per-token gradient normalization.
+    Learning rate anneals per EPOCH (eta0/(1+epoch)) — the measured-in
+    choice; see the in-code notes for the two rejected per-step schedules.
+    No RNG anywhere: zero init, in-order passes — bit-reproducible.
 
     The final weights are exported to the SAME sparse dict format the
     perceptron uses, so Viterbi decoding, broadcast scoring
@@ -300,7 +302,7 @@ class CRFLearner(PerceptronLearner):
         epochs: int = 10,
         window: int = 2,
         c2: float = 0.1,
-        eta0: float = 2.0,
+        eta0: float = 1.0,
         max_seg: int = 150,
     ) -> None:
         super().__init__(epochs, window)
@@ -373,20 +375,36 @@ class CRFLearner(PerceptronLearner):
             )
 
         s = 1.0  # scale: true weights = s * (W, T)
+        # Learning-rate schedule: constant within an epoch, 1/(1+epoch)
+        # across epochs. Two rejected alternatives, both measured on the
+        # 294-sentence clinical corpus: Bottou's per-step eta0/(1+eta0·c2·t)
+        # with the RAW c2 anneals ~n̄·N/2 times too fast under per-token
+        # gradient normalization (optimizer froze in the all-O basin,
+        # token-F1 0.0), and the correctly-matched per-step λ barely
+        # anneals at all on small corpora, leaving a noisy last iterate
+        # (more epochs made results WORSE: 0.25 → 0.04). Per-epoch 1/t
+        # explores early and settles late, deterministically.
         t = 0
-        for _ in range(epochs or self.epochs):
+        for epoch in range(epochs or self.epochs):
+            eta = self.eta0 / (1.0 + epoch)
             for (words, gold), rows in zip(examples, rows_per_sent):
                 n = len(words)
                 if n == 0:
                     continue
-                eta = self.eta0 / (1.0 + self.eta0 * self.c2 * t)
                 t += 1
-                # L2 decay: the objective is sum_i(-LL_i) + c2·||w||², so
-                # one SGD step carries the regularizer's PER-EXAMPLE share
-                # 2·c2/N — decaying by eta·c2 per step would over-shrink
-                # by a factor of N (measured: weights decayed 0.8^steps to
-                # nothing and the model collapsed to all-O)
-                s *= max(1.0 - eta * 2.0 * self.c2 / max(len(examples), 1), 1e-12)
+                # L2 decay, scaled to crfsuite's RELATIVE regularizer
+                # strength: crfsuite steps w -= eta(∇(-LL_i) + (2c2/N)w);
+                # our data gradient is additionally divided by n_i (the
+                # per-token normalization above), so the decay share must
+                # be divided by n_i too — eta·2·c2/(N·n_i). Using the
+                # per-example share 2c2/N alone over-regularizes by the
+                # sentence length (measured: c2=0.1 collapsed a
+                # 294-sentence clinical corpus to all-O; this scaling
+                # learns at the reference's own c2=0.1), and a full
+                # eta·c2 decay per step over-shrinks by another factor N.
+                s *= max(
+                    1.0 - eta * 2.0 * self.c2 / max(len(examples) * n, 1), 1e-12
+                )
                 if s < 1e-6:
                     W *= s
                     T *= s

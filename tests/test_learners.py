@@ -199,3 +199,43 @@ def test_crf_sharded_ipm_path(spark, ambiguous_corpus):
     m.fit(docs, gold)
     f = _strict_f1(gold, m.predict(docs))
     assert f["system"] == 1.0
+
+
+def test_crf_learns_reference_corpus_with_sentence_splits(spark):
+    """Real-corpus learning gate: with the clinical tokenizer supplying
+    actual sentence boundaries (the one-doc-one-sequence shape is what
+    breaks sequence learners, not the label count), the CRF at the
+    reference's own c2=0.1 reaches a meaningful token-F1 on the 3-doc PMC
+    sample — guards the eta-schedule/L2-decay calibration (a per-step
+    Bottou schedule with raw c2 froze this exact fit at all-O)."""
+    import importlib
+
+    from medacy_spark.learners import CRFLearner
+    from medacy_spark.operators.overlay import gold_overlay
+    from medacy_spark.operators.tokenize import tokenize_clinical
+
+    cli = importlib.import_module("medacy_spark.__main__")
+    docs, gold = cli._dataset(
+        spark, "/root/reference/medacy/tests/sample_data/sample_dataset_1"
+    )
+    labeled = gold_overlay(tokenize_clinical(docs.select("doc_id", "text")), gold)
+    sent_df = labeled.groupBy("doc_id", "sent_id").agg(
+        F.array_sort(F.collect_list(F.struct("tok_id", "word", "gold_label"))).alias("a")
+    ).select(
+        F.transform("a", lambda x: x["word"]).alias("words"),
+        F.transform("a", lambda x: x["gold_label"]).alias("labels"),
+    )
+    exs = [(list(r["words"]), list(r["labels"])) for r in sent_df.collect()]
+    c = CRFLearner(epochs=10).fit(exs)
+    preds = c([w for w, _ in exs])
+    tp = fp = fn = 0
+    for (_, g), p in zip(exs, preds):
+        for gi, pi in zip(g, p):
+            if pi != "O" and pi == gi:
+                tp += 1
+            elif pi != "O":
+                fp += 1
+            elif gi != "O":
+                fn += 1
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    assert f1 >= 0.2, f1
