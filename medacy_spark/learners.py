@@ -84,6 +84,9 @@ class PerceptronLearner:
         self.window = window
         self.weights: dict[tuple[str, int], float] = {}
         self.labels: list[str] = ["O"]
+        # weight-format marker: 2 = transition ids in [D, 2D). Model.load
+        # migrates version-less (pre-move) pickles.
+        self.weights_version = 2
 
     def fresh(self) -> "PerceptronLearner":
         return PerceptronLearner(self.epochs, self.window)
@@ -218,7 +221,6 @@ class PerceptronLearner:
         import pandas as pd
         from pyspark.sql import functions as F
 
-        epochs, window = self.epochs, self.window
         sh = sentence_df.select(
             F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
             .cast("int").alias("shard"),
@@ -343,12 +345,19 @@ class CRFLearner(PerceptronLearner):
             self.labels = sorted(set(labels) | {"O"})
         L = len(self.labels)
         lab_i = {y: i for i, y in enumerate(self.labels)}
-        # featurize once; index only observed emission features
+        # featurize once; index the observed emission features PLUS any
+        # warm-start emission fids (ids < D — transitions live in [D, 2D)).
+        # Without the union, fit_sharded's parameter mixing silently drops
+        # init weights for features this shard never sees, attenuating
+        # rare-entity emissions ~1/n_shards per round.
         featized = [
             [token_features(w, i, self.window) for i in range(len(w))]
             for w, _ in examples
         ]
-        fids = sorted({f for sent in featized for fs in sent for f in fs})
+        init_fids = {f for (_, f) in (init or {}) if f < D}
+        fids = sorted(
+            {f for sent in featized for fs in sent for f in fs} | init_fids
+        )
         fidx = {f: i for i, f in enumerate(fids)}
         rows_per_sent = [
             [np.array([fidx[f] for f in fs], dtype=np.int64) for fs in sent]

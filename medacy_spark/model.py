@@ -150,11 +150,33 @@ class Model:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, tokenizer=None) -> "Model":
-        """S7: artifact load + broadcast to executors."""
+        """S7: artifact load + broadcast to executors.
+
+        Weight-format migration: transition feature ids moved from [0, D)
+        to [D, 2D) (learners._trans_feat) so they can never collide with
+        emission ids. A pre-move pickle (no ``weights_version`` attr) has
+        its transition keys remapped on load — best-effort: a key that
+        was ALSO a legitimate emission id is left in place (the exact
+        ambiguity the move eliminates going forward)."""
         import pickle
 
         with open(path, "rb") as f:
             learner = pickle.load(f)
+        if hasattr(learner, "weights") and not getattr(
+            learner, "weights_version", None
+        ):
+            from medacy_spark.learners import _START, _trans_feat, _h
+
+            old_new = {
+                _h("prev_label=" + p): _trans_feat(p)
+                for p in [_START, *getattr(learner, "labels", [])]
+            }
+            w = learner.weights
+            for old, new in old_new.items():
+                for y in list(getattr(learner, "labels", [])):
+                    if (y, old) in w and (y, new) not in w:
+                        w[(y, new)] = w.pop((y, old))
+            learner.weights_version = 2
         m = cls(spark, learner, tokenizer)
         m._bc = spark.sparkContext.broadcast(learner)
         return m

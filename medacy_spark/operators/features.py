@@ -127,15 +127,17 @@ def with_spacy_features(tokens: DataFrame, text_col: str = "word") -> DataFrame:
     shape = F.regexp_replace(shape, r"(x)\1{3,}", "xxxx")
     shape = F.regexp_replace(shape, r"(X)\1{3,}", "XXXX")
     shape = F.regexp_replace(shape, r"(d)\1{3,}", "dddd")
-    return with_pos(
+    out = (
         tokens.withColumn("prefix_", F.substring(t, 1, 1))
         .withColumn("suffix_", F.substring(t, -3, 3))
         .withColumn("shape_", shape)
         .withColumn("like_num", t.rlike(LIKE_NUM).cast("string"))
         .withColumn("is_punct", t.rlike(r"^[^\w\s]+$").cast("string"))
-        .withColumn("lower_", F.lower(t)),
-        text_col,
+        .withColumn("lower_", F.lower(t))
     )
+    # a caller-supplied pos_ (e.g. real tags from the Arrow scoring
+    # stage) wins over the rule tagger — never silently clobbered
+    return out if "pos_" in tokens.columns else with_pos(out, text_col)
 
 
 def extract_feature_tuples(

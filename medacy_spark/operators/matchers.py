@@ -120,10 +120,21 @@ def _is_freq_single(l: Column, o: Column) -> Column:  # noqa: E741
     return l.isin(FREQ_LOWER)
 
 
+# exact internal column names the neighborhood pass adds (and the flag
+# builders drop) — never a prefix match, so caller columns like '_label'
+# or '_offsets' pass through untouched
+_NEIGHBOR_COLS = (
+    ["_l0"]
+    + [f"_{k}{i}" for i in (1, 2, 3) for k in ("o", "l", "e")]
+    + ["_b1", "_b2"]
+)
+
+
 def _with_neighborhood(tokens: DataFrame, id_col: str) -> DataFrame:
     """Attach the ±k lowercase/orth/end-offset neighborhood needed by the
     longest pattern (4 tokens ahead for num+compound, 2 behind for
-    phrase-membership flags) in ONE window."""
+    phrase-membership flags) in ONE window. Overwrites any same-named
+    caller column (the _NEIGHBOR_COLS names are reserved)."""
     order_cols = ["pos"] if "pos" in tokens.columns else ["sent_id", "tok_id"]
     w = Window.partitionBy(id_col).orderBy(*order_cols)
     t = tokens.withColumn("_l0", F.lower("word"))
@@ -249,5 +260,4 @@ def unit_token_flags(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .withColumn("feature_is_frequency_indicator", freq)
         .withColumn("feature_is_route_type", route)
     )
-    drop = [c for c in out.columns if c.startswith(("_l", "_o", "_e", "_b"))]
-    return out.drop(*drop)
+    return out.drop(*_NEIGHBOR_COLS)

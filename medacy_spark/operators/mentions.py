@@ -68,16 +68,24 @@ def gazetteer_mentions(
         ns = [1]
     from pyspark.sql import Window
 
-    order_cols = ["pos"] if "pos" in tokens.columns else ["sent_id", "tok_id"]
+    has_pos = "pos" in tokens.columns
+    order_cols = ["pos"] if has_pos else ["sent_id", "tok_id"]
     w = Window.partitionBy(id_col).orderBy(*order_cols)
-    t = tokens
+    t = tokens if has_pos else tokens.withColumn("pos", F.lit(None).cast("int"))
     for i in range(1, max(ns)):
         t = t.withColumn(f"_w{i}", F.lead("word", i).over(w))
         t = t.withColumn(f"_e{i}", F.lead("end_idx", i).over(w))
+        t = t.withColumn(f"_p{i}", F.lead("pos", i).over(w))
     cands = []
     for n in ns:
         words = [F.col("word")] + [F.col(f"_w{i}") for i in range(1, n)]
         end = F.col("end_idx") if n == 1 else F.col(f"_e{n - 1}")
+        # ACTUAL source positions of the covered tokens — correct even on
+        # a filtered (non-dense-pos) stream, where pos..pos+n-1 would
+        # flag the wrong rows
+        positions = F.array(
+            F.col("pos"), *[F.col(f"_p{i}") for i in range(1, n)]
+        )
         surface = F.concat_ws(" ", *words)
         cands.append(
             F.when(
@@ -88,31 +96,32 @@ def gazetteer_mentions(
                     F.col("idx").alias("start"),
                     end.alias("end"),
                     surface.alias("text"),
+                    positions.alias("positions"),
                 ),
             )
         )
-    # fixed output schema regardless of input shape: pos is null when the
-    # token stream carries none (a schema that forks on the input breaks
-    # unions of mention tables from different tokenizers)
-    pos_col = F.col("pos") if "pos" in tokens.columns else F.lit(None).cast("int")
+    # fixed output schema regardless of input shape: pos/positions are
+    # null when the token stream carries none (a schema that forks on the
+    # input breaks unions of mention tables from different tokenizers)
     spans = t.select(
         id_col,
         "sent_id",
-        pos_col.alias("pos"),
         F.explode(F.filter(F.array(*cands), lambda c: c.isNotNull())).alias("g"),
     ).select(
-        id_col, "sent_id", "pos",
+        id_col, "sent_id",
+        F.element_at("g.positions", 1).alias("pos"),
         F.col("g.norm").alias("_norm"),
         F.col("g.n").alias("n"),
         F.col("g.start").alias("start"),
         F.col("g.end").alias("end"),
         F.col("g.text").alias("text"),
+        F.col("g.positions").alias("positions"),
     )
     g = F.broadcast(gazetteer.select(F.lower("term").alias("_norm"), "label"))
     return spans.join(g, "_norm").select(
         id_col, "sent_id", "pos", "n",
         F.col("label").alias("tag"),
-        "start", "end", "text",
+        "start", "end", "text", "positions",
     )
 
 
@@ -127,9 +136,12 @@ def lexicon_overlay(
     (lexicon_component.py:44-52). Requires a ``pos`` column (doc-wide token
     position, tokenize_native keeps it).
 
-    Covered positions come straight from the match arithmetic (a match at
-    pos p over n tokens covers p..p+n-1) — sequence+explode, then one
+    Covered positions come straight from the match's own ``positions``
+    array (the ACTUAL source positions of the n-gram tokens — correct
+    even on a filtered, non-dense-pos stream), explode + one
     co-partitioned aggregation back onto (doc, pos); no interval join.
+    The token lineage is cut first: the match builder and the flag join
+    both read it (the single-pass rule).
     """
     if "pos" not in tokens.columns:
         raise ValueError(
@@ -139,10 +151,11 @@ def lexicon_overlay(
     labels = sorted(
         r["label"] for r in gazetteer.select("label").distinct().collect()
     )
+    tokens = tokens.localCheckpoint(eager=False)
     m = gazetteer_mentions(tokens, gazetteer, id_col, max_ngram)
     covered = m.select(
         id_col,
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias("pos"),
+        F.explode("positions").alias("pos"),
         "tag",
     ).groupBy(id_col, "pos").agg(F.collect_set("tag").alias("_tags"))
     out = tokens.join(covered, [id_col, "pos"], "left")

@@ -239,3 +239,46 @@ def test_crf_learns_reference_corpus_with_sentence_splits(spark):
                 fn += 1
     f1 = 2 * tp / max(2 * tp + fp + fn, 1)
     assert f1 >= 0.2, f1
+
+
+def test_crf_warm_start_keeps_unobserved_emissions():
+    """Parameter mixing contract: init emission weights for features this
+    shard never observes survive fit (decayed, not dropped) — without
+    this, rare-entity emissions attenuate ~1/n_shards per mixing round."""
+    from medacy_spark.learners import CRFLearner, _h
+
+    rare_fid = _h("w=zyloprim")  # surface unseen in this shard's slice
+    init = {("Drug", rare_fid): 3.0}
+    train = [(["take", "ibuprofen", "now"], ["O", "Drug", "O"])] * 5
+    c = CRFLearner(epochs=2).fit(train, labels=["Drug", "O"], init=init)
+    got = c.weights.get(("Drug", rare_fid), 0.0)
+    assert got > 0.0, "warm-start emission weight was dropped"
+
+
+def test_old_pickle_transition_ids_migrate_on_load(spark, ambiguous_corpus, tmp_path):
+    """A pre-move artifact (transition ids in [0, D), no weights_version)
+    decodes identically after Model.load's key migration."""
+    import pickle
+
+    from medacy_spark.learners import _START, _h, _trans_feat
+
+    docs, gold = ambiguous_corpus
+    m = Model(spark, PerceptronLearner(epochs=3)).fit(docs, gold)
+    before = sorted(map(tuple, m.predict(docs).collect()))
+
+    old = pickle.loads(pickle.dumps(m.learner))
+    # demote transition keys to their pre-move ids and strip the marker
+    for p in [_START, *old.labels]:
+        new, legacy = _trans_feat(p), _h("prev_label=" + p)
+        for y in old.labels:
+            if (y, new) in old.weights:
+                old.weights[(y, legacy)] = old.weights.pop((y, new))
+    del old.weights_version
+    path = str(tmp_path / "legacy.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(old, f)
+
+    loaded = Model.load(spark, path)
+    assert getattr(loaded.learner, "weights_version", None) == 2
+    after = sorted(map(tuple, loaded.predict(docs).collect()))
+    assert after == before

@@ -166,3 +166,31 @@ def test_unit_spans_single_window_pass(spark, doc_ids):
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2  # tokenizer's running sums + matcher leads
     assert "Join" not in plan
+
+
+def test_lexicon_overlay_on_filtered_stream(spark):
+    """Covered-token flags use the match's ACTUAL source positions, so a
+    filtered (non-dense-pos) token stream flags the right rows."""
+    toks = _toks(spark, "took the coated aspirin now")
+    # drop 'the' (pos 1): the stream keeps original pos values with a gap
+    filtered = toks.filter(F.col("word") != "the")
+    gaz = spark.createDataFrame(
+        [("Drug", "coated aspirin")], "label string, term string"
+    )
+    out = lexicon_overlay(filtered, gaz, max_ngram=2)
+    flags = {r["word"]: r["feature_is_Drug_from_lexicon"] for r in out.collect()}
+    assert flags == {"took": False, "coated": True, "aspirin": True, "now": False}
+    # and a pos-less stream fails loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError, match="pos"):
+        lexicon_overlay(filtered.drop("pos"), gaz)
+
+
+def test_unit_token_flags_preserves_caller_underscore_columns(spark):
+    """Only the exact internal neighborhood columns are dropped — caller
+    columns like _label survive the flag pass."""
+    toks = _toks(spark, "5 mg now").withColumn("_label", F.lit("keep"))
+    out = unit_token_flags(toks)
+    assert "_label" in out.columns
+    assert all(r["_label"] == "keep" for r in out.collect())
