@@ -2888,24 +2888,28 @@ def q_ngram_language_id(spark, sf):
 
 
 # The driver runs queries in registration order under a budget (r1 ran
-# 43/43, r2 45/66, r3 exactly the FIRST 50 of 72) — so dict order decides
-# which operators get a driver-record row this round. Priority: first the
-# queries with no driver record through round 3 (they all pass the local
-# replica; the driver row is the harder signal), then the round-4
-# additions, then the 50 queries already driver-green in CORRECTNESS_r03
-# (in their original order) as re-confirmations.
+# 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79) — so
+# dict order decides which operators get a driver-record row this round.
+# Round-5 priority: the 29 queries whose newest driver record is
+# CORRECTNESS_r03 (everything else is r4-green), led by the three whose
+# behavior changed in round 4 after their last driver run (cui_overlay,
+# semtype_filter — ADVICE semantic fixes; ngram_jaccard — hot-shingle
+# guard default flip) and the ones touched again in round 5
+# (minhash_lsh / simhash_candidates hot-bucket guard, clinical_triples
+# window fusion). The r4-green 50 follow as re-confirmations.
 _PRIORITY = [
-    # never in a driver record through r3 (VERDICT r3 "local-pass" set)
-    "rel_parse", "ast_parse", "model_mention_counts", "zip_datasets",
-    "quality_profile", "r_lines", "token_counts", "ngram_language_id",
-    "resegment_ids", "multi_model_merge", "table_rows", "one_hot_tags",
-    "spacy_token_features", "oov_tokens", "mention_slice", "pos_drop",
-    "feature_projection", "label_subset", "overlay_broken_guard",
-    "fold_split", "switch_extension", "link_mentions_tiebreak",
-    # new in round 4
-    "gazetteer_phrase_match", "compound_unit_pairs",
-    "duration_frequency_route_spans", "unit_token_flags", "pos_features",
-    "kg_nodes", "kg_edges",
+    # behavior changed in r4/r5 after the last driver record
+    "cui_overlay", "semtype_filter", "ngram_jaccard", "minhash_lsh",
+    "simhash_candidates", "clinical_triples",
+    # remaining round-3-only driver records, original contract order
+    "events_running_sum", "exact_dup_groups", "embedding_topk",
+    "embedding_topk_lsh", "text_hygiene", "doc_fingerprints",
+    "connected_components", "clinical_mention_counts", "fold_assignment",
+    "gold_overlay", "data_limit", "embedding_near_dups",
+    "embedding_topk_ivf", "cross_fold_measures", "vocab_index",
+    "feature_tuples", "line_word_index", "con_roundtrip",
+    "clinical_rule_tokens", "ade_lines", "metamap_candidates",
+    "sem_type_discovery", "offset_restore",
 ]
 
 

@@ -31,6 +31,97 @@ from pyspark.sql import functions as F
 # a*h+b comfortably inside a long under ANSI overflow checking.
 _MH_PRIME = 2147483647  # 2^31 - 1
 
+# Default hot-bucket cap for the sketch band self-joins: a band bucket
+# with more members than this switches from all-pairs to star topology
+# (see _capped_band_pairs). Deliberately far above any correctness-gate
+# corpus (sf0.01 has 500 docs, sf0.1 has 5,000 — a bucket can never
+# exceed the doc count, so the guard is a no-op at oracle scales and the
+# md5-mode hashes are unchanged).
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def _capped_band_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    id_col: str,
+    carry: list[str],
+    max_bucket_size: int | None,
+    what: str,
+) -> DataFrame:
+    """Band-bucket self-join with a hot-bucket guard — shared by the
+    minhash and simhash candidate generators.
+
+    ``banded`` is one row per (member id, band key); ``keys`` are the
+    equi-join bucket columns; ``carry`` are per-member payload columns
+    (e.g. the simhash value) emitted as ``<c>_a``/``<c>_b``.
+
+    The all-pairs bucket join is O(k²) in bucket membership: one
+    near-identical megacluster (mirror boilerplate that survives exact
+    dedup by one differing token) collides in EVERY band and would emit
+    ~k²·bands/2 candidate rows from a single bucket — the first thing
+    that dies at 100 TB. Buckets with more than ``max_bucket_size``
+    members therefore switch to STAR topology: every member pairs with
+    the bucket's minimum id only. That is O(k) edges, and downstream
+    connected components (dedup_corpus) still merges the entire cluster
+    through the shared hub, so survivors stay correct — unlike dropping
+    or sampling the bucket, which silently un-dedups it. Precision is
+    unchanged in kind: star edges are sketch *candidates* like any
+    others, filtered by min_bands and/or exact-Jaccard verification.
+
+    Guard topology mirrors the hot-shingle guard in ngram_jaccard_pairs:
+    count bucket membership (one map-side-combined pass), localCheckpoint
+    the (tiny) hot set, log the switch — never silent. When no bucket is
+    hot (every oracle/bench corpus here) the returned plan is EXACTLY the
+    unguarded all-pairs join — plan gates unaffected.
+    """
+    import logging
+
+    pa = [F.col(c).alias(f"{c}_a") for c in carry]
+    pb = [F.col(c).alias(f"{c}_b") for c in carry]
+
+    def _all_pairs(rel: DataFrame) -> DataFrame:
+        a = rel.select(F.col(id_col).alias("id_a"), *pa, *keys)
+        b = rel.select(F.col(id_col).alias("id_b"), *pb, *keys)
+        return (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", *[f"{c}_a" for c in carry],
+                    *[f"{c}_b" for c in carry])
+        )
+
+    if max_bucket_size is None:
+        return _all_pairs(banded)
+    stats = banded.groupBy(*keys).agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col(id_col), *carry)).alias("_hub"),
+    )
+    hot = stats.filter(F.col("_n") > max_bucket_size).localCheckpoint(eager=False)
+    n_hot = hot.count()
+    if not n_hot:
+        return _all_pairs(banded)
+    logging.getLogger(__name__).warning(
+        "%s: %d band buckets exceed %d members — switching them from "
+        "all-pairs to star topology (members pair with the bucket min; "
+        "connected components still merges the full cluster)",
+        what, n_hot, max_bucket_size,
+    )
+    hot_b = F.broadcast(hot)
+    cold = banded.join(hot_b.select(*keys), keys, "left_anti")
+    star = (
+        banded.join(hot_b, keys)
+        .filter(F.col(id_col) != F.col(f"_hub.{id_col}"))
+        .select(
+            F.col(f"_hub.{id_col}").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_hub.{c}").alias(f"{c}_a") for c in carry],
+            *pb,
+        )
+    )
+    # both branches re-read `banded` (a map-only projection of the
+    # checkpointed signature table when cut_lineage is on) — no
+    # uncached-lineage union
+    return _all_pairs(cold).unionByName(star)
+
 
 def _base_hash(s: Column, base_hash: str) -> Column:
     """Shingle base hash. 'xxhash64' (default) is the production hot path
@@ -142,6 +233,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     base_hash: str = "xxhash64",
     cut_lineage: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
@@ -160,6 +252,13 @@ def minhash_lsh_candidates(
     subtrees), so without the cut the shingle scan + signature
     aggregation, the dominant cost at corpus scale, runs TWICE. Same
     pattern as graph.connected_components' edge cut.
+
+    ``max_bucket_size`` is the web-scale hot-bucket guard: buckets with
+    more members switch from all-pairs to star topology (see
+    _capped_band_pairs — O(k) edges, logged, cluster still merges in
+    dedup_corpus). Default on; ``None`` forces all-pairs everywhere. For
+    a star edge n_bands counts the bands where the pair met through the
+    hub, a lower bound on the true collision count.
     """
     rows = num_hashes // bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, base_hash)
@@ -173,14 +272,11 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select("id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_bands"))
+    pairs = _capped_band_pairs(
+        banded, ["band", "bucket"], "id", [], max_bucket_size,
+        "minhash_lsh_candidates",
     )
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
 def simhash_bits(base_hash: str) -> int:
@@ -239,11 +335,16 @@ def simhash_candidates(
     n_blocks: int = 6,
     base_hash: str = "xxhash64",
     cut_lineage: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup candidates: Manku-style block banding over the 64-bit
     simhash (Detecting Near-Duplicates for Web Crawling, WWW'07).
     ``cut_lineage`` as in minhash_lsh_candidates: the band self-join
     otherwise recomputes the bit-vote aggregation once per side.
+    ``max_bucket_size`` is the hot-bucket guard (_capped_band_pairs):
+    over-full key buckets — a near-identical megacluster collides in
+    every combination family — emit star edges to the bucket min instead
+    of all pairs; default on, logged, no-op at oracle/bench scales.
 
     The 64 bits split into ``n_blocks`` nearly-equal blocks; a pair within
     Hamming distance ``max_hamming`` flips bits in at most that many
@@ -280,14 +381,10 @@ def simhash_candidates(
     banded = s.select(
         "id", "sh", F.posexplode(F.array(*keys)).alias("combo_no", "key")
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "combo_no", "key")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "combo_no", "key")
-    pairs = (
-        a.join(b, ["combo_no", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    pairs = _capped_band_pairs(
+        banded, ["combo_no", "key"], "id", ["sh"], max_bucket_size,
+        "simhash_candidates",
+    ).distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
