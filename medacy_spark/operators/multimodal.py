@@ -1,14 +1,20 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Image/audio/video travel as opaque `binary` columns with a metadata struct;
-decode/feature-extraction runs in Arrow-batched mapInPandas. The decode
-libraries (PIL/ffmpeg/etc.) are NOT in this container, so the decode step is
-STUBBED — `decode_image_batch` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder exercises the real
-Spark-side plumbing: schema, partition sizing, UDF signature, batch shape.
+decode/feature-extraction runs in Arrow-batched mapInPandas.
 
-Contract tested in tests/test_multimodal.py; swapping the fake for PIL is a
-one-function change with zero plan changes.
+Decoders, per the pluggable contract on extract_media_features:
+  * ``decoder="png"`` — a REAL pixel decoder: the pure-Python/numpy PNG
+    codec in functions/png.py (zlib inflate + scanline unfiltering, all
+    five PNG filters). Works in this container; real pixel statistics.
+  * general image/audio/video codecs (PIL/ffmpeg) are NOT in this
+    container — pass their adapter as ``decoder=callable`` in a
+    production image; the plan does not change.
+  * ``fake=True`` — deterministic byte-histogram stand-in for payloads
+    that are not real media, exercising the identical Spark topology.
+
+Contract tested in tests/test_multimodal.py; the PNG decoder proves the
+swap-in on real rasters inside the Arrow batch.
 """
 
 from __future__ import annotations
@@ -74,20 +80,27 @@ def extract_media_features(
           (feature=None, ok=False) so one corrupt payload never fails the
           task (the reference's corrupt-file skip, dataset.py:150-155).
 
-    Real decode libraries are not in this container: with neither
-    ``decoder`` nor ``fake`` the stage raises NotImplementedError.
-    ``fake=True`` selects the deterministic byte-histogram decoder, which
-    exercises the identical mapInPandas topology — iterator batching,
-    bounded batch memory via arrow.maxRecordsPerBatch, per-row error
-    flagging instead of task failure.
+    ``decoder`` may be a callable or the string ``"png"``, which selects
+    the container-native pure-Python PNG pixel decoder
+    (functions/png.png_feature_decoder — real decoded rasters, fixed
+    23-dim stats+histogram features). General codecs (JPEG, audio,
+    video) need PIL/ffmpeg, absent here: with neither ``decoder`` nor
+    ``fake`` the stage raises NotImplementedError. ``fake=True`` selects
+    the deterministic byte-histogram stand-in, which exercises the
+    identical mapInPandas topology — iterator batching, bounded batch
+    memory via arrow.maxRecordsPerBatch, per-row error flagging instead
+    of task failure.
     """
-    if decoder is None:
+    if decoder == "png":
+        from medacy_spark.functions.png import png_feature_decoder as decoder  # noqa: F811
+    elif decoder is None:
         if not fake:
             # config error, raised at plan time on the driver — a decoder's
             # own per-row exceptions (any type) are flagged, never re-raised
             raise NotImplementedError(
-                "media decode requires PIL/ffmpeg — not in this container; "
-                "pass decoder=... or fake=True for the deterministic test decoder"
+                "non-PNG media decode requires PIL/ffmpeg — not in this "
+                "container; pass decoder='png', decoder=<callable>, or "
+                "fake=True for the deterministic test decoder"
             )
 
         def decoder(payload, meta):  # noqa: F811 - the documented default

@@ -351,3 +351,79 @@ def test_ngram_language_id(spark):
     # plan stays UDF-free — column arithmetic only
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_png_codec_roundtrip_and_real_fixtures():
+    """The pure-Python PNG codec (functions/png.py) round-trips every
+    filter type × channel layout against independently-built rasters, and
+    decodes REAL PNGs produced by three unrelated encoders (grayscale,
+    RGBA, palette — provenance in FIXTURES.md) to pinned pixel stats."""
+    import numpy as np
+
+    from medacy_spark.functions.png import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            img = rng.randint(0, 256, (13, 17, ch)).astype(np.uint8)
+            assert np.array_equal(png_decode(png_encode(img, ft)), img), (ch, ft)
+
+    g = png_decode(open("tests/fixtures/2x2.png", "rb").read())
+    assert g.shape == (2, 2, 1) and g.tolist() == [[[128], [128]], [[128], [128]]]
+    rgba = png_decode(open("tests/fixtures/logo-32x32.png", "rb").read())
+    assert rgba.shape == (32, 32, 4)
+    assert round(float(rgba.mean()), 3) == 93.799
+    pal = png_decode(open("tests/fixtures/python.png", "rb").read())  # palette→RGB
+    assert pal.shape == (16, 16, 3)
+    assert round(float(pal.mean()), 3) == 89.477
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        png_decode(b"\x89PNG\r\n\x1a\nnot really")
+    corrupt = bytearray(open("tests/fixtures/python.png", "rb").read())
+    corrupt[50] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError):
+        png_decode(bytes(corrupt))
+
+
+def test_png_decoder_in_media_stage(spark):
+    """decoder='png' computes real pixel statistics inside the Arrow batch:
+    per-row features equal the locally-computed ones, non-PNG payloads
+    flag ok=False, and the schema matches the stub path — the swap-in the
+    decoder contract promised, proven with a real codec."""
+    from medacy_spark.functions.png import (
+        PNG_FEATURE_DIM,
+        png_encode,
+        png_feature_decoder,
+    )
+    from medacy_spark.operators.multimodal import extract_media_features
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, (8 + i, 6, 3)).astype(np.uint8) for i in range(4)}
+    rows = [
+        (i, "image", bytearray(png_encode(imgs[i], filter_type=i % 5)),
+         (6, 8 + i, None, None))
+        for i in range(4)
+    ]
+    real = open("tests/fixtures/logo-32x32.png", "rb").read()
+    rows.append((100, "image", bytearray(real), (32, 32, None, None)))
+    rows.append((101, "audio", bytearray(b"riff-not-png"), (None, None, 16000, None)))
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    got = {r["doc_id"]: r for r in extract_media_features(media, decoder="png").collect()}
+    assert len(got) == 6
+    for i in range(4):
+        assert got[i]["ok"] and len(got[i]["feature"]) == PNG_FEATURE_DIM
+        exp = png_feature_decoder(png_encode(imgs[i], filter_type=i % 5), {})
+        assert got[i]["feature"] == pytest.approx(exp, rel=1e-6)
+    assert got[100]["ok"]
+    assert got[100]["feature"][:3] == [32.0, 32.0, 4.0]
+    assert got[100]["feature"][3] == pytest.approx(93.799, abs=1e-3)
+    assert not got[101]["ok"] and got[101]["feature"] is None
