@@ -155,9 +155,13 @@ class Model:
         Weight-format migration: transition feature ids moved from [0, D)
         to [D, 2D) (learners._trans_feat) so they can never collide with
         emission ids. A pre-move pickle (no ``weights_version`` attr) has
-        its transition keys remapped on load — best-effort: a key that
-        was ALSO a legitimate emission id is left in place (the exact
-        ambiguity the move eliminates going forward)."""
+        its transition keys remapped on load — best-effort: each
+        (label, old-transition-id) weight is moved to the new id UNLESS
+        the new key already exists. In a legacy pickle the old id is
+        ambiguous — a genuine emission weight whose crc32 happens to
+        equal a prev_label hash (~L²/2²⁰ probability) would be converted
+        to a transition weight by this rule; that ambiguity is exactly
+        what the id move eliminates for models saved going forward."""
         import pickle
 
         with open(path, "rb") as f:

@@ -163,8 +163,11 @@ def filter_semantic_types(
       * raises when include and exclude overlap (the reference's guard);
       * rows with an empty sem_types set are always dropped (the
         ``@Count == 0: continue`` branch);
-      * a row is dropped when ALL exclude types are present
-        (``set(exclude) <= found_types``);
+      * a row is dropped when exclude is not None and ALL exclude types
+        are present (``set(exclude) <= found_types``) — including the
+        ``exclude=[]`` edge, where the vacuous subset drops EVERY row,
+        exactly as the reference does; only the ``None`` default skips
+        the exclusion pass;
       * a row is kept only when ALL include types are present
         (``set(include) <= found_types``; the empty default keeps
         everything not excluded).
@@ -179,12 +182,18 @@ def filter_semantic_types(
     out = links.filter(F.size("sem_types") > 0)
 
     def _all_present(types: Sequence[str]):
+        # vacuous truth for an empty type list (set() <= anything); the
+        # explicit literal avoids Spark's null-typed empty F.array()
+        if not types:
+            return F.lit(True)
         return F.forall(
             F.array(*[F.lit(t) for t in types]),
             lambda t: F.array_contains(F.col("sem_types"), t),
         )
 
-    if exclude:
+    # `is not None`, not truthiness: _all_present(()) is vacuously true,
+    # so exclude=[] drops every row — the reference's exact behavior
+    if exclude is not None:
         out = out.filter(~_all_present(exclude))
     if include:
         out = out.filter(_all_present(include))

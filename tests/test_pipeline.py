@@ -112,3 +112,11 @@ def test_filter_semantic_types_subset_semantics(spark):
 
     with pytest.raises(ValueError, match="Include and exclude overlap"):
         filter_semantic_types(links, include=("T1",), exclude=("T1", "T2"))
+
+    # exclude=[] (not None) drops EVERY row: set([]) <= found_types is
+    # vacuously true in the reference's `set(exclude) <= set(found_types)`
+    # continue branch — only the None default skips the exclusion pass
+    assert filter_semantic_types(links, include=(), exclude=()).count() == 0
+    assert sorted(
+        r["id"] for r in filter_semantic_types(links, include=(), exclude=None).collect()
+    ) == [1, 2, 3]
