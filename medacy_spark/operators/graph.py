@@ -25,15 +25,23 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id of
     the component (ids must be orderable; strings fine).
 
     Implementation: repeated min-neighbor propagation over the undirected
-    edge set, with the node's own current label included. O(diameter)
-    iterations on a path graph, far fewer on clustered linking graphs
-    (alias clusters are near-cliques). Each iteration: one shuffle
-    (groupBy node) + one broadcast-eligible join.
+    edge set, with the node's own current label included, plus one
+    pointer-jumping round per iteration — O(log diameter) rounds on a
+    path graph (gate-tested on a 10k-node chain in
+    test_graph.test_pointer_jumping_convergence), far fewer on clustered
+    linking graphs (alias clusters are near-cliques). Each iteration: one
+    shuffle (groupBy node) + one broadcast-eligible join.
+
+    ``stats`` (optional dict) gets ``iterations`` (rounds run, including
+    the final no-change confirmation round) and ``converged`` written
+    into it — the observability hook the convergence gate reads; this
+    function is EAGER (it iterates to convergence when called).
     """
     # cut the input lineage BEFORE branching: the undirected union reads
     # `edges` twice and every propagation iteration re-reads the edge set —
@@ -55,7 +63,10 @@ def connected_components(
         )
     )
     labels = labels.localCheckpoint()
+    n_iter = 0
+    converged = False
     for _ in range(max_iter):
+        n_iter += 1
         # (1) neighbor propagation: min over adjacent labels
         nbr = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
@@ -94,7 +105,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["iterations"] = n_iter
+        stats["converged"] = converged
     return labels
 
 

@@ -42,3 +42,29 @@ def test_cc_string_ids(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_pointer_jumping_convergence(spark):
+    """The O(log diameter) claim, gated on the pathological shape: a
+    10,000-node path graph (diameter 9,999 — plain min-propagation would
+    need ~10k rounds, i.e. hit max_iter and return garbage) must converge
+    in ≤ log2(n) + c rounds thanks to the per-iteration pointer jump, and
+    every node must land in the single exact component."""
+    import math
+
+    from medacy_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats = {}
+    comp = connected_components(edges, max_iter=50, stats=stats)
+    assert stats["converged"]
+    # propagation + one jump per round: label reach more than doubles per
+    # iteration; +4 covers the startup round and the final no-change
+    # confirmation round
+    assert stats["iterations"] <= math.floor(math.log2(n)) + 4
+    rows = comp.groupBy("component").count().collect()
+    assert len(rows) == 1
+    assert rows[0]["component"] == 0 and rows[0]["count"] == n
