@@ -78,6 +78,52 @@ def with_pos(
     return tokens.withColumn(out_col, pos)
 
 
+def train_pos_tagger(
+    tagged: "Sequence[tuple[Sequence[str], Sequence[str]]]",
+    epochs: int = 5,
+    window: int = 2,
+):
+    """Trainable upgrade path for the ``pos_`` column: a Collins averaged
+    perceptron (learners.PerceptronLearner — exact Viterbi, window
+    features, transition weights) fit on (words, tags) sentences. POS
+    tagging is the same sequence-labeling shape as NER, so the existing
+    learner is the tagger; no new machinery.
+
+    Closes part of the documented quality gap between the rule tagger
+    (with_pos — closed classes + suffixes, context-blind) and spaCy's
+    statistical tagger the reference reads (token.pos_,
+    discrete_feature_extractor.py:23): a trained tagger disambiguates by
+    context ("the increased dose" ADJ vs "was increased" VERB), which no
+    per-token CASE chain can. Training is driver-side like the
+    reference's; apply at scale with ``with_pos_model``. The rule path
+    stays the default (and the contract oracle's) — tests gate that the
+    trained tagger beats it on held-out tokens before anyone swaps."""
+    from medacy_spark.learners import PerceptronLearner
+
+    return PerceptronLearner(epochs=epochs, window=window).fit(tagged)
+
+
+def with_pos_model(
+    tokens: DataFrame,
+    spark,
+    tagger,
+    id_col: str = "doc_id",
+    out_col: str = "pos_",
+) -> DataFrame:
+    """Apply a trained tagger (train_pos_tagger, or any callable
+    ``list[list[str]] -> list[list[str]]``) as the ``pos_`` source via
+    the broadcast + Arrow-batch scoring stage (operators/ner_model
+    score_sentences — the X2 contract, one co-partitioned shuffle).
+    Returns the scored token core (id, sent_id, tok_id, idx, end_idx,
+    word, pos_); join back on (id, sent_id, tok_id) if the caller
+    carries extra columns. with_spacy_features never clobbers a present
+    ``pos_``, so this slots upstream of the feature windows."""
+    from medacy_spark.operators.ner_model import score_sentences
+
+    bc = spark.sparkContext.broadcast(tagger)
+    return score_sentences(tokens, bc, id_col).withColumnRenamed("label", out_col)
+
+
 def with_head(
     tokens: DataFrame,
     id_col: str = "doc_id",
@@ -183,6 +229,45 @@ def extract_feature_tuples(
         ).alias("indices"),
     )
     return rows
+
+
+def text_extractor_tuples(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """TextExtractor (text_extractor.py:5-30): the reference's
+    BERT-facing extractor — window_size=0, spacy_features=[], features
+    are the BARE token texts per sentence (not keyed dicts), indices the
+    (idx, idx+len) spans, one row per sentence:
+    (id, sent_id, features array<string>, indices
+    array<struct<start,end>>). Reachable from a pipeline spec via
+    ``feature_extractor: 'text'`` (pipeline.SparkPipeline); the
+    windowed-dict variant of the same configuration is
+    lstm_systematic_review_pipeline.py:48-52's window-0 extractor.
+
+    One groupBy over the tokenizer's own (doc, sent) partitioning —
+    map-side combined, no window pass needed at window 0."""
+    def by_tok_id(l, r):  # noqa: E741 - comparator for array_sort
+        return (
+            F.when(l["tok_id"] < r["tok_id"], -1)
+            .when(l["tok_id"] > r["tok_id"], 1)
+            .otherwise(0)
+        )
+
+    return tokens.groupBy(id_col, "sent_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("tok_id", F.col("word").alias("text"))),
+                by_tok_id,
+            ),
+            lambda x: x["text"],
+        ).alias("features"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("tok_id", F.struct(
+                    F.col("idx").alias("start"), F.col("end_idx").alias("end")
+                ).alias("span"))), by_tok_id
+            ),
+            lambda x: x["span"],
+        ).alias("indices"),
+    )
 
 
 def multi_model_merge(mention_dfs: Sequence[DataFrame], id_col: str = "doc_id") -> DataFrame:

@@ -67,6 +67,14 @@ class SparkPipeline:
         )
         self.tokenizer = spec.get("tokenizer")
         self.semantic_types = spec.get("semantic_types")
+        # 'discrete' (default) = the windowed FeatureExtractor; 'text' =
+        # the TextExtractor (window 0, bare token texts)
+        self.feature_extractor = spec.get("feature_extractor", "discrete")
+        if self.feature_extractor not in ("discrete", "text"):
+            raise ValueError(
+                "'feature_extractor' must be 'discrete' or 'text', "
+                f"but is {self.feature_extractor!r}"
+            )
 
     # ------------------------------------------------------------ stages
 
@@ -96,8 +104,16 @@ class SparkPipeline:
         return cui_overlay(tokens, candidates, id_col, include_sem_types=include)
 
     def featurize(self, tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
-        from medacy_spark.operators.features import extract_feature_tuples
+        from medacy_spark.operators.features import (
+            extract_feature_tuples,
+            text_extractor_tuples,
+        )
 
+        # feature_extractor: 'text' selects the reference's TextExtractor
+        # (text_extractor.py:5-30): bare token texts per sentence, no
+        # window, no feature dicts — the BERT-facing shape
+        if self.feature_extractor == "text":
+            return text_extractor_tuples(tokens, id_col=id_col)
         return extract_feature_tuples(
             tokens, window_size=self.window_size,
             feature_cols=self.feature_cols, id_col=id_col,

@@ -177,3 +177,32 @@ def test_spec_feature_aliases_and_head(spark):
     assert feats[3]["0:head_"] == "increased"
     assert feats[3]["0:pos_"] == "NOUN"
     assert feats[3]["0:word"] == "today"
+
+
+def test_spec_text_extractor(spark):
+    """feature_extractor: 'text' selects the TextExtractor shim
+    (text_extractor.py:5-30): bare token texts per sentence (no dicts,
+    no window) and (idx, idx+len) index spans; unknown extractor names
+    raise at spec compile."""
+    import pytest
+
+    pipe = json_to_pipeline({
+        "learner": "CRF", "spacy_pipeline": "en", "feature_extractor": "text",
+    })
+    docs = spark.createDataFrame(
+        [(1, "aspirin 10 mg daily .")], "doc_id long, text string"
+    )
+    row = pipe.featurize(pipe.tokenize(docs)).first()
+    assert row["features"] == ["aspirin", "10", "mg", "daily", "."]
+    assert [(s["start"], s["end"]) for s in row["indices"]] == [
+        (0, 7), (8, 10), (11, 13), (14, 19), (20, 21)
+    ]
+    # TextExtractor semantics: token.idx / idx+len of the source text
+    for s, tok in zip(row["indices"], row["features"]):
+        assert "aspirin 10 mg daily ."[s["start"]:s["end"]] == tok
+
+    with pytest.raises(ValueError, match="feature_extractor"):
+        json_to_pipeline({
+            "learner": "CRF", "spacy_pipeline": "en",
+            "feature_extractor": "bogus",
+        })
