@@ -1741,6 +1741,56 @@ def q_feature_tuples(spark, sf):
     ).orderBy("doc_id", "sent_id")
 
 
+# ---- TextExtractor (text_extractor.py:5-30): bare token texts + spans
+# per sentence. Unlike feature_tuples' map columns, the outputs here are
+# plain strings, so the oracle checks the actual VALUES: DuckDB replays
+# the single-space tokenizer with offsets and the '.'-boundary sentence
+# rule, then string_aggs per sentence in pos order.
+
+
+@q("text_extractor", """
+WITH _raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+t AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+         CAST(coalesce(sum(length(word)+1) OVER w, 0) AS BIGINT) AS start,
+         CAST(coalesce(sum(length(word)+1) OVER w, 0) + length(word) AS BIGINT) AS "end",
+         CAST(coalesce(sum(CASE WHEN word = '.' THEN 1 ELSE 0 END) OVER w, 0) AS INT) AS sent_id
+  FROM _raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT doc_id, sent_id,
+       string_agg(word, ' ' ORDER BY pos) AS token_text,
+       string_agg(CAST(start AS VARCHAR) || ':' || CAST("end" AS VARCHAR),
+                  ' ' ORDER BY pos) AS spans,
+       CAST(count(*) AS INT) AS n_tokens
+FROM t GROUP BY doc_id, sent_id ORDER BY doc_id, sent_id
+""")
+def q_text_extractor(spark, sf):
+    from medacy_spark.operators.features import text_extractor_tuples
+    from medacy_spark.operators.tokenize import tokenize_native
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    tet = text_extractor_tuples(tokenize_native(docs))
+    return tet.select(
+        "doc_id", "sent_id",
+        F.array_join("features", " ").alias("token_text"),
+        F.array_join(
+            F.transform(
+                "indices",
+                lambda s: F.concat_ws(
+                    ":", s["start"].cast("string"), s["end"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("spans"),
+        F.size("features").alias("n_tokens"),
+    ).orderBy("doc_id", "sent_id")
+
+
 # ---- W6: line/word coordinate index (newline injected after every 8th
 # word; the oracle replays the same regex injection + offset formula)
 
@@ -2910,6 +2960,8 @@ _PRIORITY = [
     "feature_tuples", "line_word_index", "con_roundtrip",
     "clinical_rule_tokens", "ade_lines", "metamap_candidates",
     "sem_type_discovery", "offset_restore",
+    # new in round 5 (no driver record yet)
+    "text_extractor",
 ]
 
 
