@@ -130,7 +130,19 @@ class Model:
             # label scan would each re-run tokenize + overlay otherwise
             ).localCheckpoint(eager=False)
             n_sents = sent_df.count()
-            if n_sents <= self.driver_fit_max_sentences:
+            can_shard = hasattr(self.learner, "fit_sharded")
+            if n_sents <= self.driver_fit_max_sentences or not can_shard:
+                if n_sents > self.driver_fit_max_sentences:
+                    # the neural learner has no parameter-mixing variant
+                    # (gradient averaging across shards is a different
+                    # algorithm) — over-threshold corpora fall back to
+                    # driver-side fit, loudly
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "learner %s has no fit_sharded; fitting %d sentences "
+                        "driver-side", type(self.learner).__name__, n_sents,
+                    )
                 rows = sent_df.orderBy("doc_id", "sent_id").collect()
                 self.learner.fit([(list(r["words"]), list(r["labels"])) for r in rows])
             else:

@@ -20,11 +20,16 @@ compiles the same spec into the Spark operators:
                      linear-chain CRF: l2-regularized SGD with exact
                      forward-backward, matching crf_learner.py:8-13
                      algorithm='l2sgd'/c2=0.1 — no sklearn_crfsuite
-                     needed); torch is not in this container, so
-                     'BiLSTM' and 'BERT' raise NotImplementedError
-                     exactly where the reference would construct them;
-                     'frequency' / 'perceptron' name our other
-                     learners directly.
+                     needed); 'BiLSTM' → learners_nn.BiLSTMCRFLearner
+                     (from-scratch numpy BiLSTM-CRF with
+                     finite-difference-verified BPTT; optional
+                     ``word_embeddings`` spec path loads the frozen
+                     pretrained table the reference requires,
+                     bilstm_crf_learner.py:39-42); torch+transformers
+                     are not in this container, so 'BERT' raises
+                     NotImplementedError where the reference would
+                     construct it; 'frequency' / 'perceptron' name our
+                     other learners directly.
 
 Validation errors mirror the reference's messages (missing required
 keys, unknown tokenizer, semantic_types required/invalid).
@@ -136,10 +141,27 @@ class SparkPipeline:
             return PerceptronLearner(window=w)
         if sel == "frequency":
             return FrequencyLearner()
-        if sel in ("BiLSTM", "BERT"):
+        if sel == "BiLSTM":
+            # the neural family, from scratch in numpy (learners_nn):
+            # frozen word embeddings + char-trigram bag + BiLSTM + exact
+            # CRF head, finite-difference-verified BPTT — the reference's
+            # bilstm_crf_learner.py model class without torch. Embeddings
+            # come from the spec's word_embeddings file via the S6 source
+            # when given (the reference requires one; we train a random
+            # table otherwise — documented divergence).
+            from medacy_spark.learners_nn import BiLSTMCRFLearner
+
+            vecs = None
+            if spec_path := self.spec.get("word_embeddings"):
+                from medacy_spark.sources.embeddings import load_word_vectors_local
+
+                vecs = load_word_vectors_local(spec_path)
+            return BiLSTMCRFLearner(word_vectors=vecs)
+        if sel == "BERT":
             raise NotImplementedError(
-                f"'{sel}' requires torch, which is not in this container; "
-                "'CRF' maps to the numpy linear-chain CRF"
+                "'BERT' requires torch + transformers, which are not in "
+                "this container; 'BiLSTM' maps to the numpy BiLSTM-CRF "
+                "and 'CRF' to the numpy linear-chain CRF"
             )
         raise ValueError(
             f"'learner' must be 'CRF', 'BiLSTM', or 'BERT', but is {sel}"

@@ -27,6 +27,24 @@ def read_word2vec_text(spark: SparkSession, path: str) -> DataFrame:
     ).filter(F.size("vec") > 0)
 
 
+def load_word_vectors_local(path: str) -> dict[str, list[float]]:
+    """Driver-side loader for the same word2vec-text format — the shape
+    BiLSTMCRFLearner consumes (the reference's
+    vectorizer.load_word_embeddings analogue, nn/vectorizer.py:39-46).
+    Model artifacts are dimension-scale; no Spark session needed."""
+    out: dict[str, list[float]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or (len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit()):
+                continue
+            try:
+                out[parts[0]] = [float(v) for v in parts[1:]]
+            except ValueError:
+                continue
+    return out
+
+
 def broadcast_embeddings(spark: SparkSession, df: DataFrame):
     """Collect (small) embedding table to the driver and broadcast — for use
     inside Arrow-batched scoring UDFs. The table must be dimension-scale
