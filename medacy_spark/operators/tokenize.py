@@ -203,3 +203,69 @@ def tokenize_character(
     from medacy_spark.functions.clinical_tokens import CHARACTER_RULES
 
     return tokenize_clinical(documents, id_col, exceptions, CHARACTER_RULES)
+
+
+def train_sentence_boundary(
+    tagged: "list[tuple[list[str], list[str]]]", epochs: int = 5, window: int = 2
+):
+    """Trainable upgrade path for W3 sentence boundaries: the reference
+    reads its boundaries from spaCy's statistical parser
+    (base_pipeline.py:95-99); the rule Sentencizer here is the documented
+    deterministic stand-in. This closes part of that gap with a trained
+    boundary model: B/I tagging ('B' = sentence-initial token) via the
+    averaged perceptron — window features see the neighborhood, so it
+    learns e.g. that '.' after an abbreviation does NOT open a sentence,
+    which no single-token rule can. Training examples come from any gold
+    segmentation: (words, ['B' if sentence-initial else 'I', ...])."""
+    from medacy_spark.learners import PerceptronLearner
+
+    return PerceptronLearner(epochs=epochs, window=window).fit(tagged)
+
+
+def resegment_sentences(
+    tokens: DataFrame, spark, boundary_model, id_col: str = "doc_id"
+) -> DataFrame:
+    """Re-derive (sent_id, tok_id) from a trained boundary model
+    (train_sentence_boundary, or any ``list[list[str]] ->
+    list[list[str]]`` callable emitting 'B'/'I'): score each document's
+    token sequence through the broadcast Arrow stage, then
+    sent_id = running count of 'B' tokens, tok_id = position within the
+    new sentence. One window pass after scoring, partitioned by doc —
+    co-partitioned with the tokenizer output. The first token of a doc
+    always opens sentence 0 regardless of its predicted tag."""
+    from pyspark.sql import Window
+
+    from medacy_spark.operators.ner_model import score_sentences
+
+    bc = spark.sparkContext.broadcast(boundary_model)
+    order = "pos" if "pos" in tokens.columns else "tok_id"
+    # doc-wide sequence: collapse to one pseudo-sentence so the model
+    # sees the whole document in order
+    t = tokens.select(
+        id_col,
+        F.lit(0).alias("sent_id"),
+        F.col(order).cast("int").alias("tok_id"),
+        "idx", "end_idx", "word",
+    )
+    scored = score_sentences(t, bc, id_col)
+    w = Window.partitionBy(id_col).orderBy("tok_id")
+    # a token opens a sentence when the model says 'B' — or when it is
+    # the document's first token, whatever the model said (two stacked
+    # projections because window functions cannot nest; same
+    # partition+order, so the planner keeps one sort)
+    out = scored.withColumn(
+        "_opens",
+        ((F.col("label") == "B") | (F.row_number().over(w) == 1)).cast("int"),
+    ).withColumn(
+        "_sid",
+        (F.sum("_opens").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        .cast("int"),
+    )
+    w2 = Window.partitionBy(id_col, "_sid").orderBy("tok_id")
+    return out.select(
+        id_col,
+        F.col("tok_id").alias("pos"),
+        F.col("_sid").alias("sent_id"),
+        (F.row_number().over(w2) - 1).cast("int").alias("tok_id"),
+        "idx", "end_idx", "word",
+    )

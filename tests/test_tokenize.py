@@ -242,3 +242,60 @@ def test_clinical_rules_property_invariants():
                 assert ch == " "  # only attached single spaces are dropped
 
     run()
+
+
+def test_trainable_sentence_boundary_beats_dot_rule(spark):
+    """W3 trainable upgrade path: a B/I boundary perceptron learns that a
+    '.' after an abbreviation does not end a sentence — the one thing the
+    '.'-rule cannot represent — and resegment_sentences re-derives
+    (sent_id, tok_id) through the broadcast Arrow stage, matching gold
+    segmentation on held-out docs where the rule is provably wrong."""
+    from medacy_spark.operators.tokenize import (
+        resegment_sentences,
+        train_sentence_boundary,
+        tokenize_native,
+    )
+
+    abbrevs = ["dr", "mg", "vs", "approx"]
+    nouns = ["smith", "jones", "dose", "level", "patient", "value"]
+    verbs = ["rose", "fell", "stayed", "changed"]
+
+    def doc(i):
+        """Two sentences; the first contains an abbreviation '.' that must
+        NOT split. Tokens are space-separated so tokenize_native offsets
+        hold."""
+        a, n1 = abbrevs[i % 4], nouns[(2 * i) % 6]
+        v, n2 = verbs[(i + 1) % 4], nouns[(2 * i + 3) % 6]
+        words = [a, ".", n1, v, ".", "then", n2, v, "."]
+        # gold: sentence break only at the non-abbreviation '.'
+        bi = ["B", "I", "I", "I", "I", "B", "I", "I", "I"]
+        return words, bi
+
+    train = [doc(i) for i in range(24)]
+    test_docs = [doc(i) for i in range(24, 36)]
+    model = train_sentence_boundary(train, epochs=8)
+
+    rows = [(di, " ".join(words)) for di, (words, _) in enumerate(test_docs)]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokenize_native(docs_df)
+
+    # the '.'-rule splits after EVERY '.', abbreviation or not: 3 "sentences"
+    rule_sents = toks.select("doc_id", "sent_id").distinct().count()
+    assert rule_sents == len(test_docs) * 3
+
+    reseg = resegment_sentences(toks, spark, model)
+    got = {
+        (r["doc_id"], r["pos"]): (r["sent_id"], r["tok_id"])
+        for r in reseg.collect()
+    }
+    for di, (words, bi) in enumerate(test_docs):
+        sid = -1
+        tid = 0
+        for p, tag in enumerate(bi):
+            if tag == "B":
+                sid += 1
+                tid = 0
+            assert got[(di, p)] == (sid, tid), (di, p)
+            tid += 1
+    # exactly 2 real sentences per doc now
+    assert reseg.select("doc_id", "sent_id").distinct().count() == len(test_docs) * 2
