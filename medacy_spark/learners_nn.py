@@ -309,7 +309,14 @@ class BiLSTMCRFLearner:
         examples: Iterable[tuple[Sequence[str], Sequence[str]]],
         epochs: int | None = None,
         labels: Sequence[str] | None = None,
+        vocab: Sequence[str] | None = None,
+        init_params: dict | None = None,
     ) -> "BiLSTMCRFLearner":
+        """``labels`` / ``vocab`` fix the global decode classes and
+        embedding rows (the sharded fit passes both so every shard's
+        parameter tensors are shape- and row-aligned); ``init_params``
+        warm-starts from an export_params() dict instead of the seeded
+        random init."""
         examples = [(list(w), list(g)) for w, g in examples if len(w)]
         if labels is None:
             label_set = {"O"}
@@ -319,15 +326,133 @@ class BiLSTMCRFLearner:
         else:
             self.labels = sorted(set(labels) | {"O"})
         lab_i = {y: i for i, y in enumerate(self.labels)}
-        vocab = sorted({w.lower() for ws, _ in examples for w in ws})
-        self._build(vocab)
+        if vocab is None:
+            vocab = sorted({w.lower() for ws, _ in examples for w in ws})
+        self._build(list(vocab))
+        if init_params is not None:
+            self._load_params(init_params)
         gold = [np.array([lab_i[y] for y in g], dtype=np.int64) for _, g in examples]
-        for _ in range(epochs or self.epochs):
+        for _ in range(self.epochs if epochs is None else epochs):
             # fixed in-order passes (no shuffling): deterministic like the
             # rest of the repo; the reference seeds torch for the same end
             for (words, _), gi in zip(examples, gold):
                 _, grads = self._sentence_grads(words, gi)
                 self._apply(grads, self.lr)
+        return self
+
+    # ------------------------------------------------- parameter transport
+
+    def export_params(self) -> dict:
+        """Dense parameter snapshot for averaging/transport (arrays are
+        copies; vocab/labels ride along so a receiver can _load_params
+        into an identically-built learner)."""
+        p = self._params
+        return {
+            "labels": list(self.labels),
+            "vocab": sorted(self.vocab, key=self.vocab.get),
+            "E": p["E"].copy(), "C": p["C"].copy(),
+            "Wo": p["Wo"].copy(), "bo": p["bo"].copy(), "T": p["T"].copy(),
+            "fwd": (self.fwd.Wx.copy(), self.fwd.Wh.copy(), self.fwd.b.copy()),
+            "bwd": (self.bwd.Wx.copy(), self.bwd.Wh.copy(), self.bwd.b.copy()),
+        }
+
+    def _load_params(self, d: dict) -> None:
+        p = self._params
+        for k in ("E", "C", "Wo", "bo", "T"):
+            if p[k].shape != d[k].shape:
+                raise ValueError(f"param {k}: shape {d[k].shape} != {p[k].shape}")
+            p[k][...] = d[k]
+        for name, lstm in (("fwd", self.fwd), ("bwd", self.bwd)):
+            lstm.Wx[...], lstm.Wh[...], lstm.b[...] = d[name]
+
+    def fit_sharded(
+        self,
+        sentence_df,
+        n_shards: int = 8,
+        mix_rounds: int = 3,
+        epochs_per_round: int | None = None,
+    ) -> "BiLSTMCRFLearner":
+        """Distributed fit by ITERATIVE MODEL AVERAGING — the neural
+        analogue of the perceptron's parameter mixing (McDonald, Hall &
+        Mann, NAACL 2010; same topology as federated averaging): shard
+        sentences by doc key; each round every shard runs local SGD
+        inside an applyInPandas Arrow batch STARTING FROM the previous
+        round's averaged parameters (round 0 starts from one shared
+        seeded init built on the driver, so all shards are row-aligned);
+        the driver averages the dense tensors. Per round only n_shards
+        parameter snapshots reach the driver — model-scale, never
+        corpus-scale. The global label set and vocab are derived from
+        ONE pass over the checkpointed sentence table (vocab is
+        dictionary-scale, the same class of collect the frequency
+        learner's table fit performs).
+
+        sentence_df columns: doc_id, sent_id int, words array<string>,
+        labels array<string> — the Model.fit contract.
+        """
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        sh = sentence_df.select(
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
+            .cast("int").alias("shard"),
+            "doc_id", "sent_id", "words", "labels",
+        ).localCheckpoint(eager=False)
+        # distributed distinct (explode + map-side combine), then a
+        # dictionary-scale collect — never a corpus-scale array on one
+        # reducer
+        global_labels = sorted(
+            {"O"}
+            | {r["l"] for r in
+               sh.select(F.explode("labels").alias("l")).distinct().collect()}
+        )
+        global_vocab = sorted(
+            r["w"] for r in
+            sh.select(F.lower(F.explode("words")).alias("w")).distinct().collect()
+        )
+
+        # one shared seeded init: every shard must start from IDENTICAL
+        # tensors or averaging round 0 mixes unrelated bases
+        self.labels = sorted(global_labels)
+        self._build(list(global_vocab))
+        mixed = self.export_params()
+        proto = self.fresh()
+        k_epochs = epochs_per_round or max(self.epochs // mix_rounds, 1)
+
+        def make_train(init_blob: bytes):
+            def train(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["doc_id", "sent_id"])
+                local = proto.fresh()
+                local.fit(
+                    list(zip(pdf["words"], pdf["labels"])),
+                    epochs=k_epochs,
+                    labels=global_labels,
+                    vocab=global_vocab,
+                    init_params=pickle.loads(init_blob),
+                )
+                return pd.DataFrame({
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "blob": [pickle.dumps(local.export_params())],
+                })
+            return train
+
+        for _ in range(mix_rounds):
+            rows = (
+                sh.groupBy("shard")
+                .applyInPandas(make_train(pickle.dumps(mixed)), "shard int, blob binary")
+                .collect()
+            )
+            snaps = [pickle.loads(bytes(r["blob"]))
+                     for r in sorted(rows, key=lambda r: r["shard"])]
+            n = len(snaps)
+            for k in ("E", "C", "Wo", "bo", "T"):
+                mixed[k] = sum(s[k] for s in snaps) / n
+            for name in ("fwd", "bwd"):
+                mixed[name] = tuple(
+                    sum(s[name][i] for s in snaps) / n for i in range(3)
+                )
+        self._load_params(mixed)
         return self
 
     def _viterbi(self, words: Sequence[str]) -> list[str]:

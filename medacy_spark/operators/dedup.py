@@ -91,14 +91,25 @@ def _capped_band_pairs(
 
     if max_bucket_size is None:
         return _all_pairs(banded)
-    stats = banded.groupBy(*keys).agg(
-        F.count("*").alias("_n"),
-        F.min(F.struct(F.col(id_col), *carry)).alias("_hub"),
-    )
-    hot = stats.filter(F.col("_n") > max_bucket_size).localCheckpoint(eager=False)
-    n_hot = hot.count()
+    # count-only detection pass: the hub (min member) is only computed
+    # when hot buckets actually exist, so the common no-hot path pays one
+    # map-side-combined count over (band, bucket) keys and nothing else —
+    # a fixed extra job (~0.5-0.9 s at sf0.1, measured; data-proportionally
+    # negligible against the band join at corpus scale)
+    counts = banded.groupBy(*keys).agg(F.count("*").alias("_n"))
+    hot_keys = counts.filter(F.col("_n") > max_bucket_size).localCheckpoint(eager=False)
+    n_hot = hot_keys.count()
     if not n_hot:
         return _all_pairs(banded)
+    hot = (
+        banded.join(F.broadcast(hot_keys.select(*keys)), keys)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct(F.col(id_col), *carry)).alias("_hub"),
+        )
+        .localCheckpoint(eager=False)
+    )
     logging.getLogger(__name__).warning(
         "%s: %d band buckets exceed %d members — switching them from "
         "all-pairs to star topology (members pair with the bucket min; "
