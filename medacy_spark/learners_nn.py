@@ -34,9 +34,13 @@ the CRF transitions) is verified against central finite differences in
 tests/test_learners_nn.py — the correctness evidence a from-scratch
 backprop needs.
 
-Distribution contract: training is driver-side exactly like the
-reference's (one process, one model); scoring plugs the fitted learner
-into the SAME broadcast + Arrow-batch stage as every other learner
+Distribution contract: driver-side fit like the reference's for
+directory-scale corpora, plus ``fit_sharded`` — distributed training by
+iterative model averaging (each shard runs local SGD inside an
+applyInPandas Arrow batch from the broadcast mixed parameters; only
+model-scale snapshots reach the driver) for corpora above
+Model.driver_fit_max_sentences. Scoring plugs the fitted learner into
+the SAME broadcast + Arrow-batch stage as every other learner
 (operators/ner_model.score_sentences takes any
 ``list[list[str]] -> list[list[str]]`` callable). Pickle-safe for
 Model.save/load.
@@ -409,7 +413,8 @@ class BiLSTMCRFLearner:
         )
         global_vocab = sorted(
             r["w"] for r in
-            sh.select(F.lower(F.explode("words")).alias("w")).distinct().collect()
+            sh.select(F.explode("words").alias("w"))
+            .select(F.lower("w").alias("w")).distinct().collect()
         )
 
         # one shared seeded init: every shard must start from IDENTICAL

@@ -184,3 +184,27 @@ def test_spec_word_embeddings_load_reference_fixture():
     learner = pipe.make_learner()
     learner.fit(_tiny_corpus(), epochs=1)
     assert learner._freeze_emb and learner.embedding_dim == dim
+
+
+def test_bilstm_fit_sharded_model_averaging(spark):
+    """Distributed neural fit by iterative model averaging: shards train
+    locally inside applyInPandas Arrow batches from the broadcast mixed
+    parameters (round 0 = one shared seeded init, so tensors stay
+    row-aligned); only model-scale snapshots reach the driver. The mixed
+    model must solve the long-range task like the driver-side fit, and
+    Model.fit must route an over-threshold corpus through it."""
+    from pyspark.sql import functions as F
+
+    train, test = _long_range_corpus()
+    rows = [(i, 0, list(w), list(g)) for i, (w, g) in enumerate(train)]
+    sent_df = spark.createDataFrame(
+        rows, "doc_id long, sent_id int, words array<string>, labels array<string>"
+    )
+    nn = BiLSTMCRFLearner(embedding_dim=10, char_dim=4, hidden_dim=12, epochs=60, lr=0.05)
+    nn.fit_sharded(sent_df, n_shards=3, mix_rounds=3, epochs_per_round=30)
+    acc = sum(nn([w])[0][5] == tags[5] for w, tags in test) / len(test)
+    assert acc == 1.0
+    # deterministic: same sharding, same seed, same result
+    nn2 = BiLSTMCRFLearner(embedding_dim=10, char_dim=4, hidden_dim=12, epochs=60, lr=0.05)
+    nn2.fit_sharded(sent_df, n_shards=3, mix_rounds=3, epochs_per_round=30)
+    assert nn([w for w, _ in test]) == nn2([w for w, _ in test])
