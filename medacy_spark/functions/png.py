@@ -69,15 +69,25 @@ def png_decode(payload: bytes) -> np.ndarray:
     """payload -> (height, width, channels) uint8 array.
 
     Palette images (color type 3) come back expanded to RGB; gray+alpha
-    and RGBA keep their alpha channel. Raises ValueError on anything
-    outside the supported subset (depth 8, no interlace) — the
-    multimodal stage converts per-row raises to ok=False rows.
+    and RGBA keep their alpha channel. Raises ValueError on ANY invalid
+    or unsupported input — truncated chunks (struct.error) and corrupt
+    deflate streams (zlib.error) included, so callers following the
+    documented except-ValueError pattern never crash on garbage — the
+    multimodal stage additionally converts per-row raises to ok=False
+    rows.
     """
+    try:
+        return _decode(bytes(payload))
+    except (struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG: {e}") from None
+
+
+def _decode(payload: bytes) -> np.ndarray:
     width = height = None
     ctype_num = None
     palette = None
     idat = bytearray()
-    for ctype, body in _chunks(bytes(payload)):
+    for ctype, body in _chunks(payload):
         if ctype == b"IHDR":
             width, height, depth, ctype_num, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body

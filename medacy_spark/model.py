@@ -133,10 +133,11 @@ class Model:
             can_shard = hasattr(self.learner, "fit_sharded")
             if n_sents <= self.driver_fit_max_sentences or not can_shard:
                 if n_sents > self.driver_fit_max_sentences:
-                    # the neural learner has no parameter-mixing variant
-                    # (gradient averaging across shards is a different
-                    # algorithm) — over-threshold corpora fall back to
-                    # driver-side fit, loudly
+                    # only learners WITHOUT a fit_sharded land here (the
+                    # perceptron/CRF mix parameters, the BiLSTM averages
+                    # models — both shard); e.g. a bare callable plugged
+                    # in as a learner falls back to driver-side fit,
+                    # loudly
                     import logging
 
                     logging.getLogger(__name__).warning(

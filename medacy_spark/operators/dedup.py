@@ -86,7 +86,8 @@ def _capped_band_pairs(
             a.join(b, keys)
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", *[f"{c}_a" for c in carry],
-                    *[f"{c}_b" for c in carry])
+                    *[f"{c}_b" for c in carry],
+                    F.lit(False).alias("_star"))
         )
 
     if max_bucket_size is None:
@@ -126,6 +127,7 @@ def _capped_band_pairs(
             F.col(id_col).alias("id_b"),
             *[F.col(f"_hub.{c}").alias(f"{c}_a") for c in carry],
             *pb,
+            F.lit(True).alias("_star"),
         )
     )
     # both branches re-read `banded` (a map-only projection of the
@@ -245,6 +247,7 @@ def minhash_lsh_candidates(
     base_hash: str = "xxhash64",
     cut_lineage: bool = True,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    mark_hot: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
@@ -269,11 +272,22 @@ def minhash_lsh_candidates(
     _capped_band_pairs — O(k) edges, logged, cluster still merges in
     dedup_corpus). Default on; ``None`` forces all-pairs everywhere. For
     a star edge n_bands counts the bands where the pair met through the
-    hub, a lower bound on the true collision count.
+    hub, a lower bound on the true collision count — and a direct edge
+    between two non-hub hot-bucket members loses its hot-band counts
+    entirely, so a plain ``n_bands >= k`` filter can drop pairs the
+    unguarded join would have kept. ``mark_hot=True`` therefore adds an
+    ``n_hot_bands`` column (star rows per pair) so callers can exempt
+    hub edges from the min-band filter the way dedup_corpus does; the
+    default keeps the classic (id_a, id_b, n_bands) schema.
     """
     rows = num_hashes // bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, base_hash)
-    if cut_lineage:
+    # the guard's detection pass is an extra reader of the signature
+    # table, so an active guard forces the cut even when the caller
+    # disabled it — otherwise hot-bucket detection would recompute the
+    # shingle scan + signature aggregation a third time, and the
+    # cold/star union would read an uncached lineage
+    if cut_lineage or max_bucket_size is not None:
         sig = sig.localCheckpoint(eager=False)
     def _bucket(cols):
         joined = F.concat_ws(",", *cols)
@@ -287,7 +301,10 @@ def minhash_lsh_candidates(
         banded, ["band", "bucket"], "id", [], max_bucket_size,
         "minhash_lsh_candidates",
     )
-    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+    aggs = [F.count("*").alias("n_bands")]
+    if mark_hot:
+        aggs.append(F.sum(F.col("_star").cast("int")).alias("n_hot_bands"))
+    return pairs.groupBy("id_a", "id_b").agg(*aggs)
 
 
 def simhash_bits(base_hash: str) -> int:
@@ -370,7 +387,8 @@ def simhash_candidates(
     from itertools import combinations
 
     s = simhash64_table(df, text_col, id_col, base_hash=base_hash)
-    if cut_lineage:
+    # an active guard forces the cut (see minhash_lsh_candidates)
+    if cut_lineage or max_bucket_size is not None:
         s = s.localCheckpoint(eager=False)
     n_bits = simhash_bits(base_hash)
     sizes = [
@@ -395,7 +413,7 @@ def simhash_candidates(
     pairs = _capped_band_pairs(
         banded, ["combo_no", "key"], "id", ["sh"], max_bucket_size,
         "simhash_candidates",
-    ).distinct()
+    ).drop("_star").distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
@@ -456,12 +474,22 @@ def dedup_corpus(
     ``verify_threshold`` additionally confirms every candidate edge by
     EXACT n-gram Jaccard (verify_near_dups, hot-shingle guard on) before
     clustering — sketch recall, exact precision.
+
+    Hot-bucket interaction: edges that met through a hot bucket
+    (n_hot_bands > 0) are EXEMPT from the min_bands filter — star
+    topology undercounts n_bands for hot pairs (a direct edge between
+    two non-hub members loses its hot-band collisions entirely), so
+    filtering them by band count would silently un-dedup exactly the
+    megacluster the guard exists for. A >max_bucket_size bucket is
+    itself a strong near-dup signal; when precision matters, set
+    ``verify_threshold`` and every edge (star included) is confirmed by
+    exact Jaccard before clustering.
     """
     from medacy_spark.operators.graph import connected_components
 
-    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands).filter(
-        F.col("n_bands") >= min_bands
-    )
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, mark_hot=True
+    ).filter((F.col("n_bands") >= min_bands) | (F.col("n_hot_bands") > 0))
     if verify_threshold is not None:
         pairs = verify_near_dups(
             df, pairs, text_col, id_col, threshold=verify_threshold

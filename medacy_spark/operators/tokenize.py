@@ -238,7 +238,16 @@ def resegment_sentences(
     from medacy_spark.operators.ner_model import score_sentences
 
     bc = spark.sparkContext.broadcast(boundary_model)
-    order = "pos" if "pos" in tokens.columns else "tok_id"
+    if "pos" not in tokens.columns:
+        # tok_id restarts per sentence: collapsing multi-sentence docs
+        # to one pseudo-sentence on it would produce duplicate sort keys
+        # and scramble the scored sequence — refuse rather than corrupt
+        raise ValueError(
+            "resegment_sentences needs a doc-wide 'pos' column "
+            "(tokenize_native keeps one); per-sentence tok_id cannot "
+            "order a whole document"
+        )
+    order = "pos"
     # doc-wide sequence: collapse to one pseudo-sentence so the model
     # sees the whole document in order
     t = tokens.select(

@@ -31,17 +31,34 @@ def load_word_vectors_local(path: str) -> dict[str, list[float]]:
     """Driver-side loader for the same word2vec-text format — the shape
     BiLSTMCRFLearner consumes (the reference's
     vectorizer.load_word_embeddings analogue, nn/vectorizer.py:39-46).
-    Model artifacts are dimension-scale; no Spark session needed."""
+    Model artifacts are dimension-scale; no Spark session needed.
+
+    Keys are lowercased (the learner looks tokens up lowercased — a
+    case-sensitive table would silently zero every capitalized word's
+    embedding) and every vector must have the same width; a ragged line
+    raises HERE with the file and line number instead of surfacing later
+    as an opaque numpy broadcast error inside the learner build."""
     out: dict[str, list[float]] = {}
+    dim: int | None = None
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             parts = line.split()
             if not parts or (len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit()):
                 continue
             try:
-                out[parts[0]] = [float(v) for v in parts[1:]]
-            except ValueError:
-                continue
+                vec = [float(v) for v in parts[1:]]
+            except ValueError as e:
+                raise ValueError(
+                    f"{path}:{lineno}: non-numeric embedding value ({e})"
+                ) from None
+            if dim is None:
+                dim = len(vec)
+            elif len(vec) != dim:
+                raise ValueError(
+                    f"{path}:{lineno}: vector has {len(vec)} dims, "
+                    f"expected {dim}"
+                )
+            out[parts[0].lower()] = vec
     return out
 
 

@@ -271,7 +271,13 @@ def test_hot_bucket_guard_megacluster(spark, caplog):
     assert any("star topology" in rec.message for rec in caplog.records)
     # star caps the blowup: ≲ k pairs (hub→member), never ~k²/2 ≈ 1.1M
     assert n_pairs <= 2 * n
+    # default min_bands=2: star edges are EXEMPT from the band filter
+    # (n_hot_bands marking) — without the exemption every hub edge counts
+    # only its star rows and a threshold filter could silently un-dedup
+    # the exact megacluster the guard exists for
+    kept2 = sorted(r["doc_id"] for r in dedup_corpus(d).collect())
     kept = sorted(r["doc_id"] for r in dedup_corpus(d, min_bands=1).collect())
+    assert kept2 == kept
     # 1496/1499 duplicate members removed through the star hubs. Docs 52,
     # 77, 1208 escape for a reason independent of the guard: their unique
     # tail shingle's base hash is small enough to win the min in ≥1 row

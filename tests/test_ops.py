@@ -385,6 +385,22 @@ def test_png_codec_roundtrip_and_real_fixtures():
     corrupt[50] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
     with pytest.raises(ValueError):
         png_decode(bytes(corrupt))
+    # the error CONTRACT holds for non-ValueError internals too:
+    # truncation inside a CRC (struct.error) and a corrupt deflate
+    # stream (zlib.error) both surface as ValueError
+    whole = open("tests/fixtures/python.png", "rb").read()
+    with pytest.raises(ValueError):
+        png_decode(whole[:37])  # cut mid-chunk
+    import struct as _struct
+    import zlib as _zlib
+    sig = whole[:8]
+    ihdr = whole[8:33]
+    bad_idat_body = b"not-deflate-data"
+    bad_idat = (_struct.pack(">I", len(bad_idat_body)) + b"IDAT" + bad_idat_body
+                + _struct.pack(">I", _zlib.crc32(b"IDAT" + bad_idat_body)))
+    iend = _struct.pack(">I", 0) + b"IEND" + _struct.pack(">I", _zlib.crc32(b"IEND"))
+    with pytest.raises(ValueError):
+        png_decode(sig + ihdr + bad_idat + iend)
 
 
 def test_png_decoder_in_media_stage(spark):
