@@ -208,3 +208,25 @@ def test_bilstm_fit_sharded_model_averaging(spark):
     nn2 = BiLSTMCRFLearner(embedding_dim=10, char_dim=4, hidden_dim=12, epochs=60, lr=0.05)
     nn2.fit_sharded(sent_df, n_shards=3, mix_rounds=3, epochs_per_round=30)
     assert nn([w for w, _ in test]) == nn2([w for w, _ in test])
+
+
+def test_bilstm_model_end_to_end_quality(spark):
+    """Full Model path with the neural learner: fit through gold_overlay
+    on the synthetic clinical corpus, broadcast, Arrow scoring, island
+    merge. Deterministic; 40 docs / 8 epochs reaches perfect precision
+    and >=0.9 recall against gold mentions."""
+    from medacy_spark.corpus.synth import clinical_documents, gold_mentions
+    from medacy_spark.model import Model
+
+    ids = spark.range(40).selectExpr("id as doc_id")
+    docs = clinical_documents(ids).select("doc_id", "text")
+    gold = gold_mentions(ids)
+    m = Model(
+        spark, BiLSTMCRFLearner(embedding_dim=12, hidden_dim=16, epochs=8)
+    ).fit(docs, gold)
+    pred = m.predict(docs)
+    n_pred = pred.count()
+    exact = pred.join(gold, ["doc_id", "tag", "start", "end"], "left_semi").count()
+    n_gold = gold.count()
+    assert exact == n_pred               # perfect precision
+    assert exact / n_gold >= 0.9         # high recall (deterministic run)
