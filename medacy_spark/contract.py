@@ -2938,30 +2938,30 @@ def q_ngram_language_id(spark, sf):
 
 
 # The driver runs queries in registration order under a budget (r1 ran
-# 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79) — so
-# dict order decides which operators get a driver-record row this round.
-# Round-5 priority: the 29 queries whose newest driver record is
-# CORRECTNESS_r03 (everything else is r4-green), led by the three whose
-# behavior changed in round 4 after their last driver run (cui_overlay,
-# semtype_filter — ADVICE semantic fixes; ngram_jaccard — hot-shingle
-# guard default flip) and the ones touched again in round 5
-# (minhash_lsh / simhash_candidates hot-bucket guard, clinical_triples
-# window fusion). The r4-green 50 follow as re-confirmations.
+# 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
+# first 50 of 80) — so dict order decides which operators get a
+# driver-record row this round. Round-6 priority: the 30 queries whose
+# newest driver record is CORRECTNESS_r04 (everything else is r5-green),
+# per VERDICT r5 #2, led by any queries new or behavior-touched this
+# round (the sketch guard's detection pass was folded into the band
+# shuffle — values unchanged, plan changed). The r5-green rows follow as
+# re-confirmations.
 _PRIORITY = [
-    # behavior changed in r4/r5 after the last driver record
-    "cui_overlay", "semtype_filter", "ngram_jaccard", "minhash_lsh",
-    "simhash_candidates", "clinical_triples",
-    # remaining round-3-only driver records, original contract order
-    "events_running_sum", "exact_dup_groups", "embedding_topk",
-    "embedding_topk_lsh", "text_hygiene", "doc_fingerprints",
-    "connected_components", "clinical_mention_counts", "fold_assignment",
-    "gold_overlay", "data_limit", "embedding_near_dups",
-    "embedding_topk_ivf", "cross_fold_measures", "vocab_index",
-    "feature_tuples", "line_word_index", "con_roundtrip",
-    "clinical_rule_tokens", "ade_lines", "metamap_candidates",
-    "sem_type_discovery", "offset_restore",
-    # new in round 5 (no driver record yet)
-    "text_extractor",
+    # new in round 6 (no driver record yet)
+    "trained_pos_mentions",
+    # plan changed in round 6 after the last driver record (values pinned
+    # unchanged by the md5-mode oracles)
+    "minhash_lsh", "simhash_candidates",
+    # round-4-only driver records, original contract order
+    "ast_parse", "compound_unit_pairs", "duration_frequency_route_spans",
+    "feature_projection", "fold_split", "gazetteer_phrase_match",
+    "kg_edges", "kg_nodes", "label_subset", "link_mentions_tiebreak",
+    "mention_slice", "model_mention_counts", "multi_model_merge",
+    "nation_rollup", "ngram_language_id", "one_hot_tags", "oov_tokens",
+    "overlay_broken_guard", "pos_drop", "pos_features", "quality_profile",
+    "r_lines", "rel_parse", "resegment_ids", "spacy_token_features",
+    "switch_extension", "table_rows", "token_counts", "unit_token_flags",
+    "zip_datasets",
 ]
 
 

@@ -68,13 +68,22 @@ def _capped_band_pairs(
     unchanged in kind: star edges are sketch *candidates* like any
     others, filtered by min_bands and/or exact-Jaccard verification.
 
-    Guard topology mirrors the hot-shingle guard in ngram_jaccard_pairs:
-    count bucket membership (one map-side-combined pass), localCheckpoint
-    the (tiny) hot set, log the switch — never silent. When no bucket is
-    hot (every oracle/bench corpus here) the returned plan is EXACTLY the
-    unguarded all-pairs join — plan gates unaffected.
+    Detection rides the join's own shuffle (r5 verdict #1): ONE window
+    pass over the banded relation computes every bucket's membership
+    count and hub (min member) on the same (band-keys) exchange the
+    self-join needs anyway, and the windowed relation is
+    localCheckpointed so (a) the expensive signature lineage runs exactly
+    once and (b) both self-join sides read the checkpoint WITH its hash
+    partitioning and sort order preserved — the join plans ZERO
+    additional exchanges. The previous shape (a separate count
+    aggregation job before the join) cost a measured 33% at the 100k-doc
+    dedup benchmark (tools/guard_ab.py); this shape is at parity with
+    the unguarded plan. Hot switches are still logged eagerly — never
+    silent — via one cheap scan of the already-materialized checkpoint.
     """
     import logging
+
+    from pyspark.sql import Window
 
     pa = [F.col(c).alias(f"{c}_a") for c in carry]
     pb = [F.col(c).alias(f"{c}_b") for c in carry]
@@ -92,36 +101,37 @@ def _capped_band_pairs(
 
     if max_bucket_size is None:
         return _all_pairs(banded)
-    # count-only detection pass: the hub (min member) is only computed
-    # when hot buckets actually exist, so the common no-hot path pays one
-    # map-side-combined count over (band, bucket) keys and nothing else —
-    # a fixed extra job (~0.5-0.9 s at sf0.1, measured; data-proportionally
-    # negligible against the band join at corpus scale)
-    counts = banded.groupBy(*keys).agg(F.count("*").alias("_n"))
-    hot_keys = counts.filter(F.col("_n") > max_bucket_size).localCheckpoint(eager=False)
-    n_hot = hot_keys.count()
+    w = Window.partitionBy(*keys)
+    plain = [F.col(id_col), *[F.col(c) for c in carry], *[F.col(k) for k in keys]]
+    marked = banded.select(
+        *plain,
+        F.count("*").over(w).alias("_n"),
+        F.min(F.struct(F.col(id_col), *carry)).over(w).alias("_hub"),
+    ).localCheckpoint(eager=False)
+    # eager hot-bucket count (ids are unique within a bucket, so
+    # id == hub-id picks exactly one row per bucket): the heavy work —
+    # shuffle, window, checkpoint write — is shared with the main job,
+    # so this job's marginal cost is one checkpoint scan. It buys the
+    # never-silent log line and the exact unguarded join plan when
+    # nothing is hot.
+    n_hot = marked.filter(
+        (F.col("_n") > max_bucket_size)
+        & (F.col(id_col) == F.col(f"_hub.{id_col}"))
+    ).count()
     if not n_hot:
-        return _all_pairs(banded)
-    hot = (
-        banded.join(F.broadcast(hot_keys.select(*keys)), keys)
-        .groupBy(*keys)
-        .agg(
-            F.count("*").alias("_n"),
-            F.min(F.struct(F.col(id_col), *carry)).alias("_hub"),
-        )
-        .localCheckpoint(eager=False)
-    )
+        return _all_pairs(marked.select(*plain))
     logging.getLogger(__name__).warning(
         "%s: %d band buckets exceed %d members — switching them from "
         "all-pairs to star topology (members pair with the bucket min; "
         "connected components still merges the full cluster)",
         what, n_hot, max_bucket_size,
     )
-    hot_b = F.broadcast(hot)
-    cold = banded.join(hot_b.select(*keys), keys, "left_anti")
+    cold = marked.filter(F.col("_n") <= max_bucket_size).select(*plain)
     star = (
-        banded.join(hot_b, keys)
-        .filter(F.col(id_col) != F.col(f"_hub.{id_col}"))
+        marked.filter(
+            (F.col("_n") > max_bucket_size)
+            & (F.col(id_col) != F.col(f"_hub.{id_col}"))
+        )
         .select(
             F.col(f"_hub.{id_col}").alias("id_a"),
             F.col(id_col).alias("id_b"),
@@ -130,8 +140,7 @@ def _capped_band_pairs(
             F.lit(True).alias("_star"),
         )
     )
-    # both branches re-read `banded` (a map-only projection of the
-    # checkpointed signature table when cut_lineage is on) — no
+    # both branches read the ONE materialized checkpoint — no
     # uncached-lineage union
     return _all_pairs(cold).unionByName(star)
 
@@ -282,12 +291,13 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, base_hash)
-    # the guard's detection pass is an extra reader of the signature
-    # table, so an active guard forces the cut even when the caller
-    # disabled it — otherwise hot-bucket detection would recompute the
-    # shingle scan + signature aggregation a third time, and the
-    # cold/star union would read an uncached lineage
-    if cut_lineage or max_bucket_size is not None:
+    # an active guard checkpoints the WINDOWED banded relation inside
+    # _capped_band_pairs (detection folded into the band shuffle), which
+    # already cuts the signature lineage — the banded relation is
+    # consumed exactly once, so a sig checkpoint here would be a second
+    # materialization for nothing. Guard-off keeps the classic cut: the
+    # all-pairs self-join reads the signature table twice.
+    if cut_lineage and max_bucket_size is None:
         sig = sig.localCheckpoint(eager=False)
     def _bucket(cols):
         joined = F.concat_ws(",", *cols)
@@ -364,6 +374,7 @@ def simhash_candidates(
     base_hash: str = "xxhash64",
     cut_lineage: bool = True,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    mark_hot: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: Manku-style block banding over the 64-bit
     simhash (Detecting Near-Duplicates for Web Crawling, WWW'07).
@@ -373,6 +384,14 @@ def simhash_candidates(
     over-full key buckets — a near-identical megacluster collides in
     every combination family — emit star edges to the bucket min instead
     of all pairs; default on, logged, no-op at oracle/bench scales.
+    ``hamming`` is always EXACT (recomputed from the carried signatures),
+    but for a star edge it measures member↔hub distance — two non-hub
+    members of a hot bucket may be mutually within ``max_hamming`` while
+    their hub edges are not, so a caller that post-filters by hamming can
+    silently disconnect hot-bucket members. ``mark_hot=True`` appends a
+    boolean ``hot`` column (pair met through a star edge) so callers can
+    exempt those edges, mirroring minhash's ``n_hot_bands``; the default
+    keeps the classic (id_a, id_b, hamming) schema.
 
     The 64 bits split into ``n_blocks`` nearly-equal blocks; a pair within
     Hamming distance ``max_hamming`` flips bits in at most that many
@@ -387,8 +406,9 @@ def simhash_candidates(
     from itertools import combinations
 
     s = simhash64_table(df, text_col, id_col, base_hash=base_hash)
-    # an active guard forces the cut (see minhash_lsh_candidates)
-    if cut_lineage or max_bucket_size is not None:
+    # an active guard cuts via the windowed banded checkpoint inside
+    # _capped_band_pairs (see minhash_lsh_candidates)
+    if cut_lineage and max_bucket_size is None:
         s = s.localCheckpoint(eager=False)
     n_bits = simhash_bits(base_hash)
     sizes = [
@@ -413,8 +433,15 @@ def simhash_candidates(
     pairs = _capped_band_pairs(
         banded, ["combo_no", "key"], "id", ["sh"], max_bucket_size,
         "simhash_candidates",
-    ).drop("_star").distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    if mark_hot:
+        return (
+            pairs.groupBy("id_a", "id_b", "sh_a", "sh_b")
+            .agg((F.max(F.col("_star").cast("int")) == 1).alias("hot"))
+            .select("id_a", "id_b", hamming.alias("hamming"), "hot")
+        )
+    pairs = pairs.drop("_star").distinct()
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
 
