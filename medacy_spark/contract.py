@@ -727,8 +727,13 @@ _MH_P = 2147483647
 
 
 def _minhash_sql() -> str:
+    # per-permutation independent md5 hashes, mirroring dedup.perm_hash
+    # (md5 mode): the shingle salted with '|i'. See perm_hash's docstring
+    # for why the cheaper linear-transform family was abandoned (measured
+    # lattice-correlation false positives AND false negatives at 1M docs).
     mins = ",\n         ".join(
-        f"CAST(min((h * {2 * i + 1} + {1000003 * (i + 1)}) % {_MH_P}) AS BIGINT) AS m{i}"
+        f"CAST(min(CAST(('0x' || substr(md5(shingle || '|{i}'), 1, 15)) AS BIGINT)"
+        f" % {_MH_P}) AS BIGINT) AS m{i}"
         for i in range(32)
     )
     bands = "\n  UNION ALL\n  ".join(
@@ -750,11 +755,7 @@ sh AS (
   FROM w
   WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY lead(word, 2) OVER win IS NOT NULL),
-hs AS (
-  SELECT doc_id AS id,
-         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS h
-  FROM sh),
-sig AS (SELECT id, {mins} FROM hs GROUP BY id),
+sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
 bands AS (
   {bands})
 SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
@@ -1900,6 +1901,49 @@ def q_clinical_rule_tokens(spark, sf):
     ).orderBy("doc_id", "pos")
 
 
+# ---- W3/F18 trained upgrade path as a SHIPPED artifact: the pretrained
+# POS perceptron (tests/fixtures/pos_tagger.pkl, built by
+# tools/make_pos_fixture.py from corpus.synth.pos_sentences) scores the
+# clinical rule tokens through the broadcast Arrow stage (X2 contract).
+# A perceptron's Viterbi is not SQL-expressible, but its output on a
+# fixed corpus is deterministic — the oracle reads the pinned driver-side
+# predictions (same fixture policy as clinical_rule_tokens), so the
+# driver verifies distributed scoring equals pinned Viterbi per token.
+
+
+_POS_FIXTURE = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "tests", "fixtures",
+    "trained_pos_tags.parquet",
+))
+_POS_TAGGER_PKL = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "tests", "fixtures", "pos_tagger.pkl",
+))
+
+
+@q("trained_pos_tags", f"""
+WITH sig AS (
+  SELECT count(*) AS n, sum(doc_id * length(text)) AS s
+  FROM documents WHERE doc_id < 50)
+SELECT f.doc_id, CAST(f.sent_id AS INT) AS sent_id,
+       CAST(f.tok_id AS INT) AS tok_id, f.word, f.pos_
+FROM read_parquet('{_POS_FIXTURE}') f, sig
+WHERE f.sig_n = sig.n AND f.sig_s = sig.s
+ORDER BY f.doc_id, f.sent_id, f.tok_id
+""")
+def q_trained_pos_tags(spark, sf):
+    from medacy_spark.model import load_artifact
+    from medacy_spark.operators.features import with_pos_model
+    from medacy_spark.operators.tokenize import tokenize_clinical
+    d = _docs(spark, sf).select("doc_id", "text").filter(F.col("doc_id") < 50)
+    toks = tokenize_clinical(d).select(
+        "doc_id", "sent_id", "tok_id", "idx", "end_idx", "word"
+    )
+    tagger = load_artifact(_POS_TAGGER_PKL)
+    return with_pos_model(toks, spark, tagger).select(
+        "doc_id", "sent_id", "tok_id", "word", "pos_"
+    ).orderBy("doc_id", "sent_id", "tok_id")
+
+
 # ---- S9 completion: ADE .rel → pseudo-BRAT lines (ade_to_brat.py:44-68);
 # rel-format lines derived from adjacent-token pairs, converted with the
 # byte-faithful operator; the oracle formats the same lines directly.
@@ -2948,7 +2992,7 @@ def q_ngram_language_id(spark, sf):
 # re-confirmations.
 _PRIORITY = [
     # new in round 6 (no driver record yet)
-    "trained_pos_mentions",
+    "trained_pos_tags",
     # plan changed in round 6 after the last driver record (values pinned
     # unchanged by the md5-mode oracles)
     "minhash_lsh", "simhash_candidates",

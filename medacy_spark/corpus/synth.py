@@ -268,3 +268,54 @@ def gold_triples(doc_ids: DataFrame) -> DataFrame:
         text_col="word",
     ).select("doc_id", "sent_id", "tag", "start", "end", "text")
     return extract_triples(m)
+
+
+def pos_sentences() -> tuple[list, list]:
+    """Deterministic synthetic POS corpus with genuine context ambiguity:
+    'increased' is ADJ in 'the increased dose' but VERB in 'was
+    increased' — resolvable only from context, which the rule tagger's
+    per-token CASE chain cannot see. Returns (train, held_out); the
+    held-out split is unseen combinations of seen vocabulary. Shared by
+    the pretrained artifact builder (tools/make_pos_fixture.py), the
+    trained_pos_tags contract oracle, and the quality-gate tests."""
+    adjs = ["red", "large", "small", "increased", "oral", "slow"]
+    nouns = ["dose", "patient", "tablet", "infusion", "level", "doctor"]
+    verbs = ["increased", "gave", "took", "measured", "reduced", "checked"]
+    advs = ["daily", "slowly", "often"]
+    sents = []
+    for i in range(120):
+        a, n1 = adjs[i % 6], nouns[(2 * i + 1) % 6]
+        v, n2 = verbs[(3 * i + 2) % 6], nouns[(i + 4) % 6]
+        d = advs[i % 3]
+        t = i % 3
+        if t == 0:
+            words = ["the", a, n1, "was", v]
+            tags = ["DET", "ADJ", "NOUN", "AUX", "VERB"]
+        elif t == 1:
+            words = [n1, v, "the", n2, d]
+            tags = ["NOUN", "VERB", "DET", "NOUN", "ADV"]
+        else:
+            words = ["a", n1, v, a, n2]
+            tags = ["DET", "NOUN", "VERB", "ADJ", "NOUN"]
+        sents.append((words, tags))
+    return sents[:90], sents[90:]
+
+
+def boundary_sentences() -> tuple[list, list]:
+    """Deterministic synthetic B/I sentence-boundary corpus: each doc has
+    an abbreviation '.' that must NOT open a sentence and a real boundary
+    that must — the distinction the '.'-rule cannot represent. Returns
+    (train, held_out). Shared by the pretrained artifact builder and the
+    quality-gate tests."""
+    abbrevs = ["dr", "mg", "vs", "approx"]
+    nouns = ["smith", "jones", "dose", "level", "patient", "value"]
+    verbs = ["rose", "fell", "stayed", "changed"]
+
+    def doc(i):
+        a, n1 = abbrevs[i % 4], nouns[(2 * i) % 6]
+        v, n2 = verbs[(i + 1) % 4], nouns[(2 * i + 3) % 6]
+        words = [a, ".", n1, v, ".", "then", n2, v, "."]
+        bi = ["B", "I", "I", "I", "I", "B", "I", "I", "I"]
+        return words, bi
+
+    return [doc(i) for i in range(24)], [doc(i) for i in range(24, 36)]

@@ -107,9 +107,17 @@ def _decode(payload: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG missing IHDR")
     ch = _CHANNELS[ctype_num]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = width * ch
-    if raw.size != height * (stride + 1):
+    # bounded inflate: cap decompression at the expected scanline payload
+    # (+1 to detect overlong streams) so a crafted small-geometry PNG with
+    # a high-ratio deflate stream cannot balloon executor memory before
+    # the size check fires — decoding untrusted corpora is the normal case
+    expected = height * (stride + 1)
+    dec = zlib.decompressobj()
+    inflated = dec.decompress(bytes(idat), expected + 1)
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    if (raw.size != expected or dec.unconsumed_tail or dec.unused_data
+            or not dec.eof):
         raise ValueError("PNG scanline payload size mismatch")
     raw = raw.reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -145,7 +153,13 @@ def _decode(payload: bytes) -> np.ndarray:
     if ctype_num == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        img = palette[img[:, :, 0]]
+        idx = img[:, :, 0]
+        # a pixel index past the palette would otherwise surface as a
+        # numpy IndexError, breaking the documented raises-ValueError
+        # contract for corrupt input
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError("palette PNG pixel index out of range")
+        img = palette[idx]
     return img
 
 

@@ -80,6 +80,54 @@ def _lse(a: np.ndarray, axis: int) -> np.ndarray:
     return np.squeeze(m + np.log(np.exp(a - m).sum(axis=axis, keepdims=True)), axis=axis)
 
 
+def crf_nll_grads(S: np.ndarray, T: np.ndarray, gold_idx: np.ndarray):
+    """Exact linear-chain NLL over emissions S (n, L) and transitions T
+    (L+1, L; row L = start); returns (nll, dS, dT) — gradients of the
+    MINIMIZED loss (expected − empirical statistics). Module-level so the
+    BiLSTM-CRF and the transformer learner share ONE verified CRF head."""
+    n, L = S.shape
+    la = np.empty((n, L))
+    la[0] = S[0] + T[L]
+    for i in range(1, n):
+        la[i] = S[i] + _lse(la[i - 1][:, None] + T[:L], axis=0)
+    lb = np.zeros((n, L))
+    for i in range(n - 2, -1, -1):
+        lb[i] = _lse(T[:L] + (S[i + 1] + lb[i + 1])[None, :], axis=1)
+    logZ = _lse(la[-1], axis=0)
+    gold_score = S[np.arange(n), gold_idx].sum() + T[L, gold_idx[0]]
+    if n > 1:
+        gold_score += T[gold_idx[:-1], gold_idx[1:]].sum()
+    nll = logZ - gold_score
+    marg = np.exp(la + lb - logZ)
+    dS = marg.copy()
+    dS[np.arange(n), gold_idx] -= 1.0
+    dT = np.zeros_like(T)
+    dT[L] = marg[0]
+    dT[L, gold_idx[0]] -= 1.0
+    for i in range(1, n):
+        pair = np.exp(la[i - 1][:, None] + T[:L] + (S[i] + lb[i])[None, :] - logZ)
+        dT[:L] += pair
+        dT[gold_idx[i - 1], gold_idx[i]] -= 1.0
+    return nll, dS, dT
+
+
+def viterbi_decode(S: np.ndarray, T: np.ndarray) -> list[int]:
+    """Exact max-score path through emissions S (n, L) under transitions
+    T (L+1, L; row L = start). Shared by both neural learners."""
+    n, L = S.shape
+    dp = S[0] + T[L]
+    back = np.zeros((n, L), dtype=np.int64)
+    for i in range(1, n):
+        scores = dp[:, None] + T[:L]
+        back[i] = scores.argmax(axis=0)
+        dp = S[i] + scores.max(axis=0)
+    path = [int(dp.argmax())]
+    for i in range(n - 1, 0, -1):
+        path.append(int(back[i, path[-1]]))
+    path.reverse()
+    return path
+
+
 class _LSTM:
     """One-direction LSTM with exact BPTT. Gate layout in z: [i f o g]."""
 
@@ -230,34 +278,7 @@ class BiLSTMCRFLearner:
         return S, (ids, chars, X, Hf, cf, Hb, cb, H)
 
     def _crf_nll_grads(self, S: np.ndarray, gold_idx: np.ndarray):
-        """Exact linear-chain NLL; returns (nll, dS, dT) — gradients of
-        the MINIMIZED loss (expected − empirical statistics)."""
-        p = self._params
-        T = p["T"]
-        n, L = S.shape
-        la = np.empty((n, L))
-        la[0] = S[0] + T[L]
-        for i in range(1, n):
-            la[i] = S[i] + _lse(la[i - 1][:, None] + T[:L], axis=0)
-        lb = np.zeros((n, L))
-        for i in range(n - 2, -1, -1):
-            lb[i] = _lse(T[:L] + (S[i + 1] + lb[i + 1])[None, :], axis=1)
-        logZ = _lse(la[-1], axis=0)
-        gold_score = S[np.arange(n), gold_idx].sum() + T[L, gold_idx[0]]
-        if n > 1:
-            gold_score += T[gold_idx[:-1], gold_idx[1:]].sum()
-        nll = logZ - gold_score
-        marg = np.exp(la + lb - logZ)
-        dS = marg.copy()
-        dS[np.arange(n), gold_idx] -= 1.0
-        dT = np.zeros_like(T)
-        dT[L] = marg[0]
-        dT[L, gold_idx[0]] -= 1.0
-        for i in range(1, n):
-            pair = np.exp(la[i - 1][:, None] + T[:L] + (S[i] + lb[i])[None, :] - logZ)
-            dT[:L] += pair
-            dT[gold_idx[i - 1], gold_idx[i]] -= 1.0
-        return nll, dS, dT
+        return crf_nll_grads(S, self._params["T"], gold_idx)
 
     def _sentence_grads(self, words: Sequence[str], gold_idx: np.ndarray):
         """Full backprop for one sentence: loss + gradient dict keyed like
@@ -330,6 +351,17 @@ class BiLSTMCRFLearner:
         else:
             self.labels = sorted(set(labels) | {"O"})
         lab_i = {y: i for i, y in enumerate(self.labels)}
+        if labels is not None:
+            # a label outside the supplied set would otherwise surface as
+            # an opaque KeyError from the gold-index lookup below; safe for
+            # fit_sharded (which derives labels globally) but the public
+            # kwarg invites mismatches
+            unknown = {y for _, g in examples for y in g} - set(self.labels)
+            if unknown:
+                raise ValueError(
+                    f"example labels {sorted(unknown)} not in the supplied "
+                    f"label set {self.labels}"
+                )
         if vocab is None:
             vocab = sorted({w.lower() for ws, _ in examples for w in ws})
         self._build(list(vocab))
@@ -464,18 +496,7 @@ class BiLSTMCRFLearner:
         if not words:
             return []
         S = self._emissions(words)
-        T = self._params["T"]
-        n, L = S.shape
-        dp = S[0] + T[L]
-        back = np.zeros((n, L), dtype=np.int64)
-        for i in range(1, n):
-            scores = dp[:, None] + T[:L]
-            back[i] = scores.argmax(axis=0)
-            dp = S[i] + scores.max(axis=0)
-        path = [int(dp.argmax())]
-        for i in range(n - 1, 0, -1):
-            path.append(int(back[i, path[-1]]))
-        path.reverse()
+        path = viterbi_decode(S, self._params["T"])
         return [self.labels[i] for i in path]
 
     def __call__(self, sentences: list[list[str]]) -> list[list[str]]:

@@ -67,6 +67,25 @@ class FrequencyLearner:
         return out
 
 
+def save_artifact(obj, path: str) -> None:
+    """S7 pickle contract, module-level: dump any trained model artifact
+    (NER learner, POS tagger, sentence-boundary model) so every trainable
+    component ships/loads the same way."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_artifact(path: str):
+    """Inverse of save_artifact — a plain pickle load. Model.load layers
+    its legacy-key migration on top of this for NER learners."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 class Model:
     """fit/predict/cross_validate over (documents, gold_mentions) tables.
 
@@ -156,10 +175,7 @@ class Model:
     def save(self, path: str) -> None:
         """S7: model artifact dump — plain pickle of the learner
         (model.py:216-230 dump/load surface)."""
-        import pickle
-
-        with open(path, "wb") as f:
-            pickle.dump(self.learner, f)
+        save_artifact(self.learner, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, tokenizer=None) -> "Model":

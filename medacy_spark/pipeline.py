@@ -25,11 +25,13 @@ compiles the same spec into the Spark operators:
                      finite-difference-verified BPTT; optional
                      ``word_embeddings`` spec path loads the frozen
                      pretrained table the reference requires,
-                     bilstm_crf_learner.py:39-42); torch+transformers
-                     are not in this container, so 'BERT' raises
-                     NotImplementedError where the reference would
-                     construct it; 'frequency' / 'perceptron' name our
-                     other learners directly.
+                     bilstm_crf_learner.py:39-42); 'BERT' maps to the
+                     from-scratch numpy transformer encoder
+                     (learners_tx, bert_learner.py's model family —
+                     trained from scratch since no pretrained weights
+                     exist in this container; spec key 'using_crf'
+                     mirrors bert_learner.py:26); 'frequency' /
+                     'perceptron' name our other learners directly.
 
 Validation errors mirror the reference's messages (missing required
 keys, unknown tokenizer, semantic_types required/invalid).
@@ -158,10 +160,25 @@ class SparkPipeline:
                 vecs = load_word_vectors_local(spec_path)
             return BiLSTMCRFLearner(word_vectors=vecs)
         if sel == "BERT":
-            raise NotImplementedError(
-                "'BERT' requires torch + transformers, which are not in "
-                "this container; 'BiLSTM' maps to the numpy BiLSTM-CRF "
-                "and 'CRF' to the numpy linear-chain CRF"
+            # the transformer family, from scratch in numpy (learners_tx):
+            # multi-head self-attention encoder + softmax or CRF head,
+            # finite-difference-verified backprop — the reference's
+            # bert_learner.py model family without torch/transformers.
+            # DOCUMENTED DIVERGENCE: no pretrained bert-large-cased
+            # weights exist in this container, so the encoder trains from
+            # scratch on the task corpus; the reference's using_crf flag
+            # maps 1:1 (spec key 'using_crf', default False like
+            # bert_learner.py:26).
+            from medacy_spark.learners_tx import TransformerCRFLearner
+
+            vecs = None
+            if spec_path := self.spec.get("word_embeddings"):
+                from medacy_spark.sources.embeddings import load_word_vectors_local
+
+                vecs = load_word_vectors_local(spec_path)
+            return TransformerCRFLearner(
+                word_vectors=vecs,
+                using_crf=bool(self.spec.get("using_crf", False)),
             )
         raise ValueError(
             f"'learner' must be 'CRF', 'BiLSTM', or 'BERT', but is {sel}"

@@ -43,7 +43,13 @@ def load_word_vectors_local(path: str) -> dict[str, list[float]]:
     with open(path, encoding="utf-8") as f:
         for lineno, line in enumerate(f, 1):
             parts = line.split()
-            if not parts or (len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit()):
+            if not parts:
+                continue
+            # the word2vec-text "<count> <dim>" header is only ever the
+            # FIRST line — skipping every two-digit-token line would drop
+            # a legitimate 1-dim integer vector for a numeric token
+            if (lineno == 1 and len(parts) == 2
+                    and parts[0].isdigit() and parts[1].isdigit()):
                 continue
             try:
                 vec = [float(v) for v in parts[1:]]
@@ -58,7 +64,15 @@ def load_word_vectors_local(path: str) -> dict[str, list[float]]:
                     f"{path}:{lineno}: vector has {len(vec)} dims, "
                     f"expected {dim}"
                 )
-            out[parts[0].lower()] = vec
+            key = parts[0].lower()
+            if key in out:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s:%d: duplicate embedding key %r after lowercasing — "
+                    "last occurrence wins", path, lineno, key,
+                )
+            out[key] = vec
     return out
 
 

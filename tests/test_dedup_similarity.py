@@ -278,10 +278,12 @@ def test_hot_bucket_guard_megacluster(spark, caplog):
     kept2 = sorted(r["doc_id"] for r in dedup_corpus(d).collect())
     kept = sorted(r["doc_id"] for r in dedup_corpus(d, min_bands=1).collect())
     assert kept2 == kept
-    # 1496/1499 duplicate members removed through the star hubs. Docs 52,
-    # 77, 1208 escape for a reason independent of the guard: their unique
-    # tail shingle's base hash is small enough to win the min in ≥1 row
-    # of every band (the base hash is shared by all permutations, so a
-    # low draw is correlated across bands) — ordinary minhash recall,
-    # deterministic under the fixed xxhash64 coefficients.
-    assert kept == [0, 52, 77, 1208, n]
+    # all 1499 duplicate members removed through the star hubs. Under the
+    # old linear permutation families (a_i*h + b_i of ONE base hash) a
+    # few members escaped with zero candidate edges: a low base-hash draw
+    # on a doc's unique tail shingle stayed the min under every linear
+    # map — lattice-correlated band outcomes, recall orders of magnitude
+    # below theory (see perm_hash's docstring for the measured history).
+    # Independent per-permutation hashes restore the theory rate,
+    # P(all 8 bands diverge) ≈ (1-(57/58)^4)^8 ≈ 2e-10 per member.
+    assert kept == [0, n]

@@ -221,32 +221,12 @@ def test_detect_window_size(spark):
 
 
 def _pos_corpus():
-    """Deterministic synthetic POS corpus with genuine context ambiguity:
-    'increased' is ADJ in 'the increased dose' but VERB in 'was
-    increased' — resolvable only from context, which the rule tagger's
-    per-token CASE chain cannot see. Held-out split = unseen
-    combinations of seen vocabulary."""
-    adjs = ["red", "large", "small", "increased", "oral", "slow"]
-    nouns = ["dose", "patient", "tablet", "infusion", "level", "doctor"]
-    verbs = ["increased", "gave", "took", "measured", "reduced", "checked"]
-    advs = ["daily", "slowly", "often"]
-    sents = []
-    for i in range(120):
-        a, n1 = adjs[i % 6], nouns[(2 * i + 1) % 6]
-        v, n2 = verbs[(3 * i + 2) % 6], nouns[(i + 4) % 6]
-        d = advs[i % 3]
-        t = i % 3
-        if t == 0:
-            words = ["the", a, n1, "was", v]
-            tags = ["DET", "ADJ", "NOUN", "AUX", "VERB"]
-        elif t == 1:
-            words = [n1, v, "the", n2, d]
-            tags = ["NOUN", "VERB", "DET", "NOUN", "ADV"]
-        else:
-            words = ["a", n1, v, a, n2]
-            tags = ["DET", "NOUN", "VERB", "ADJ", "NOUN"]
-        sents.append((words, tags))
-    return sents[:90], sents[90:]
+    """Shared deterministic POS corpus — promoted into the package
+    (corpus.synth.pos_sentences) so the pretrained artifact builder,
+    the trained_pos_tags oracle and this gate train on ONE source."""
+    from medacy_spark.corpus.synth import pos_sentences
+
+    return pos_sentences()
 
 
 def test_trained_pos_tagger_beats_rule_tagger(spark):
@@ -302,3 +282,51 @@ def test_trained_pos_tagger_beats_rule_tagger(spark):
         for ti, tag in enumerate(tagger([words])[0])
     }
     assert scored == driver
+
+
+def test_shipped_pos_and_boundary_artifacts():
+    """The pretrained artifacts under tests/fixtures/ (pos_tagger.pkl,
+    boundary_model.pkl, built by tools/make_pos_fixture.py) load through
+    the S7 pickle contract and reproduce a freshly-trained model exactly
+    — the learner is deterministic, so a drifting artifact means the
+    builder was not re-run after a learner/corpus change. The pinned
+    trained_pos_tags.parquet oracle fixture must match the loaded
+    tagger's live Viterbi on every sentence of the token fixture."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from medacy_spark.corpus.synth import boundary_sentences, pos_sentences
+    from medacy_spark.model import load_artifact
+    from medacy_spark.operators.features import train_pos_tagger
+    from medacy_spark.operators.tokenize import train_sentence_boundary
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    tagger = load_artifact(os.path.join(fixtures, "pos_tagger.pkl"))
+    train, held_out = pos_sentences()
+    fresh = train_pos_tagger(train, epochs=5)
+    sents = [w for w, _ in held_out]
+    assert tagger(sents) == fresh(sents)
+
+    boundary = load_artifact(os.path.join(fixtures, "boundary_model.pkl"))
+    btrain, bheld = boundary_sentences()
+    bfresh = train_sentence_boundary(btrain, epochs=8)
+    bsents = [w for w, _ in bheld]
+    assert boundary(bsents) == bfresh(bsents)
+    # the artifact solves the case the '.'-rule cannot: gold B/I on held-out
+    assert boundary(bsents) == [bi for _, bi in bheld]
+
+    # pinned oracle fixture == live Viterbi of the loaded artifact
+    rows = pq.read_table(
+        os.path.join(fixtures, "trained_pos_tags.parquet")
+    ).to_pylist()
+    assert rows, "empty trained_pos_tags fixture"
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault(
+            (r["sig_n"], r["sig_s"], r["doc_id"], r["sent_id"]), []
+        ).append(r)
+    for key, grp in groups.items():
+        grp = sorted(grp, key=lambda r: r["tok_id"])
+        live = tagger([[r["word"] for r in grp]])[0]
+        assert [r["pos_"] for r in grp] == live, key

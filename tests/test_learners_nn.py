@@ -186,6 +186,30 @@ def test_spec_word_embeddings_load_reference_fixture():
     assert learner._freeze_emb and learner.embedding_dim == dim
 
 
+def test_embeddings_loader_header_only_on_line_one(tmp_path):
+    """The word2vec '<count> <dim>' header skip applies to line 1 ONLY: a
+    later all-digit row is a legitimate embedding for a numeric token
+    (e.g. the token '7' with a 1-dim integer vector) and must be kept."""
+    from medacy_spark.sources.embeddings import load_word_vectors_local
+
+    p = tmp_path / "emb.txt"
+    p.write_text("2 1\nword 0.5\n7 3\n")
+    vecs = load_word_vectors_local(str(p))
+    assert vecs == {"word": [0.5], "7": [3.0]}
+
+
+def test_bilstm_fit_rejects_labels_outside_supplied_set():
+    """fit(labels=...) with an example carrying an unlisted label raises a
+    descriptive ValueError instead of an opaque KeyError."""
+    import pytest
+
+    from medacy_spark.learners_nn import BiLSTMCRFLearner
+
+    learner = BiLSTMCRFLearner(embedding_dim=8, hidden_dim=8, epochs=1)
+    with pytest.raises(ValueError, match="Zebra"):
+        learner.fit([(["a", "b"], ["O", "Zebra"])], labels=["O", "Drug"])
+
+
 def test_bilstm_fit_sharded_model_averaging(spark):
     """Distributed neural fit by iterative model averaging: shards train
     locally inside applyInPandas Arrow batches from the broadcast mixed

@@ -402,6 +402,33 @@ def test_png_codec_roundtrip_and_real_fixtures():
     with pytest.raises(ValueError):
         png_decode(sig + ihdr + bad_idat + iend)
 
+    def _chunk(typ, body):
+        return (_struct.pack(">I", len(body)) + typ + body
+                + _struct.pack(">I", _zlib.crc32(typ + body)))
+
+    # palette pixel index past the PLTE table -> ValueError, not a numpy
+    # IndexError escaping the documented contract
+    pal_png = (
+        sig
+        + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", bytes([10, 20, 30]))          # ONE palette entry
+        + _chunk(b"IDAT", _zlib.compress(bytes([0, 0, 5])))  # index 5
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        png_decode(pal_png)
+    # decompression bomb: tiny declared geometry (1x1 gray -> 2 payload
+    # bytes) carrying a deflate stream that inflates to 10 MB — the
+    # bounded decompressobj rejects it without inflating the whole stream
+    bomb = (
+        sig
+        + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 10_000_000, 9))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        png_decode(bomb)
+
 
 def test_png_decoder_in_media_stage(spark):
     """decoder='png' computes real pixel statistics inside the Arrow batch:

@@ -27,8 +27,15 @@ def test_spec_validation_matches_reference():
         )
     with pytest.raises(ValueError, match="must be 'CRF'"):
         json_to_pipeline({"learner": "SVM", "spacy_pipeline": "en"}).make_learner()
-    with pytest.raises(NotImplementedError, match="torch"):
-        json_to_pipeline({"learner": "BERT", "spacy_pipeline": "en"}).make_learner()
+    # 'BERT' no longer raises: it builds the from-scratch numpy
+    # transformer (learners_tx) — full construction gates live in
+    # tests/test_learners_tx.py
+    from medacy_spark.learners_tx import TransformerCRFLearner
+
+    built = json_to_pipeline(
+        {"learner": "BERT", "spacy_pipeline": "en"}
+    ).make_learner()
+    assert isinstance(built, TransformerCRFLearner)
 
 
 def test_spec_json_file_roundtrip(tmp_path):

@@ -256,23 +256,14 @@ def test_trainable_sentence_boundary_beats_dot_rule(spark):
         tokenize_native,
     )
 
-    abbrevs = ["dr", "mg", "vs", "approx"]
-    nouns = ["smith", "jones", "dose", "level", "patient", "value"]
-    verbs = ["rose", "fell", "stayed", "changed"]
+    # shared deterministic corpus — promoted into the package
+    # (corpus.synth.boundary_sentences) so the pretrained artifact
+    # builder and this gate train on ONE source; tokens are
+    # space-separated so tokenize_native offsets hold, and gold breaks
+    # only at the non-abbreviation '.'
+    from medacy_spark.corpus.synth import boundary_sentences
 
-    def doc(i):
-        """Two sentences; the first contains an abbreviation '.' that must
-        NOT split. Tokens are space-separated so tokenize_native offsets
-        hold."""
-        a, n1 = abbrevs[i % 4], nouns[(2 * i) % 6]
-        v, n2 = verbs[(i + 1) % 4], nouns[(2 * i + 3) % 6]
-        words = [a, ".", n1, v, ".", "then", n2, v, "."]
-        # gold: sentence break only at the non-abbreviation '.'
-        bi = ["B", "I", "I", "I", "I", "B", "I", "I", "I"]
-        return words, bi
-
-    train = [doc(i) for i in range(24)]
-    test_docs = [doc(i) for i in range(24, 36)]
+    train, test_docs = boundary_sentences()
     model = train_sentence_boundary(train, epochs=8)
 
     rows = [(di, " ".join(words)) for di, (words, _) in enumerate(test_docs)]
