@@ -1,0 +1,331 @@
+"""Pure-Python/numpy baseline JPEG (JFIF) decoder — the second real
+codec behind the multimodal decoder contract (companion to
+functions/png.py; VERDICT r5 #6: most real web media is JPEG).
+
+Scope: baseline sequential DCT, 8-bit samples (SOF0, and SOF1's
+extended-sequential which decodes identically), grayscale or 3-component
+YCbCr with any sampling factors (4:4:4, 4:2:2, 4:2:0 all fall out of the
+general MCU layout), restart intervals, multi-table DQT/DHT segments.
+Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+modes raise ValueError with a specific message — the documented
+container boundary shrinks to those.
+
+Raises ValueError on ANY invalid or unsupported input (truncated
+segments, bad huffman streams, stray markers); the feature adapter
+relies on that contract to flag corrupt rows instead of crashing the
+executor batch.
+
+Like the PNG codec, the entropy loop walks bits in Python — sized for
+fixture-scale rasters inside Arrow batches; a production image pipeline
+swaps in PIL/libjpeg through the same decoder contract with zero plan
+changes.
+
+Validated in tests/test_ops.py against real encoders via cross-FORMAT
+ground truth: CPython's test-suite ships the same raster as python.jpg
+and python.png, so the JPEG decode is checked against the (exact) PNG
+decode of an unrelated encoder's output; IPython's 2x2.jpg matches its
+2x2.png the same way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 1-D DCT-III (inverse DCT-II) basis: spatial = M.T @ coeffs @ M
+_M = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) * 0.5
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+_UNSUPPORTED_SOF = {
+    0xC2: "progressive JPEG not supported",
+    0xC3: "lossless JPEG not supported",
+    0xC5: "differential JPEG not supported",
+    0xC6: "progressive JPEG not supported",
+    0xC7: "lossless JPEG not supported",
+    0xC9: "arithmetic-coded JPEG not supported",
+    0xCA: "arithmetic-coded JPEG not supported",
+    0xCB: "arithmetic-coded JPEG not supported",
+    0xCD: "arithmetic-coded JPEG not supported",
+    0xCE: "arithmetic-coded JPEG not supported",
+    0xCF: "arithmetic-coded JPEG not supported",
+}
+
+
+class _Bits:
+    """Bit reader over the entropy-coded scan: 0xFF00 byte stuffing is
+    consumed transparently; RSTn markers are surfaced to the MCU loop."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        d, i = self.d, self.i
+        if i >= len(d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = d[i]
+        if b == 0xFF:
+            if i + 1 >= len(d):
+                raise ValueError("JPEG entropy stream truncated at marker")
+            m = d[i + 1]
+            if m == 0x00:
+                self.i = i + 2
+                return 0xFF
+            raise ValueError(f"unexpected marker 0x{m:02x} inside scan")
+        self.i = i + 1
+        return b
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, expect: int) -> None:
+        """Consume padding + the RSTn marker between restart intervals."""
+        self.n = 0
+        d = self.d
+        if self.i + 1 >= len(d) or d[self.i] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = d[self.i + 1]
+        if m != 0xD0 + (expect & 7):
+            raise ValueError(f"bad restart marker 0x{m:02x}")
+        self.i += 2
+
+
+def _huff_decode(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (height, width, channels) uint8 array (channels 1
+    for grayscale, 3 for RGB after the JFIF YCbCr transform). Raises
+    ValueError on any invalid or unsupported input."""
+    try:
+        return _decode(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt JPEG: {e}") from None
+
+
+def _decode(data: bytes) -> np.ndarray:
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while True:
+        if i + 4 > len(data):
+            raise ValueError("JPEG truncated before SOS")
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        seg = data[i + 4 : i + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker in _UNSUPPORTED_SOF:
+            raise ValueError(_UNSUPPORTED_SOF[marker])
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                if tbl.size != 64:
+                    raise ValueError("short DQT table")
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({
+                    "id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq,
+                })
+                if not (1 <= samp >> 4 <= 4 and 1 <= samp & 15 <= 4):
+                    raise ValueError("bad sampling factors")
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                if len(counts) != 16:
+                    raise ValueError("short DHT counts")
+                j += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        if j >= len(seg):
+                            raise ValueError("short DHT symbols")
+                        table[(length, code)] = seg[j]
+                        code += 1
+                        j += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise ValueError("non-interleaved scans not supported")
+            scan = []
+            for c in range(ns):
+                cs, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(
+                    (k for k in frame["comps"] if k["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scan.append((comp, tbl >> 4, tbl & 15))
+            return _decode_scan(
+                data, i + 2 + seglen, frame, scan, qt, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        i += 2 + seglen
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+    for c, td, ta in scan:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing huffman table for scan")
+    bits = _Bits(data, pos)
+    pred = [0] * len(comps)
+    rst = 0
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bits.align_restart(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (c, td, ta) in enumerate(scan):
+            q = qt[c["tq"]]
+            dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    t = _huff_decode(bits, dc_tbl)
+                    if t > 11:
+                        raise ValueError("bad DC magnitude")
+                    pred[ci] += _extend(bits.receive(t), t)
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(bits, ac_tbl)
+                        r, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            raise ValueError(f"bad AC symbol 0x{sym:02x}")
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[_ZIGZAG[k]] = _extend(bits.receive(s), s)
+                        k += 1
+                    # coef is natural order (zigzag applied at store time);
+                    # the DQT table arrives in zigzag order — scatter it to
+                    # natural order once per block and dequantize
+                    qnat = np.zeros(64, dtype=np.float64)
+                    qnat[_ZIGZAG] = q
+                    block = (coef * qnat).reshape(8, 8)
+                    spatial = _M.T @ block @ _M + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[comps.index(c)][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    out = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if vmax % c["v"] or hmax % c["h"]:
+            raise ValueError("non-integer sampling ratio")
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(up[:h, :w])
+    if len(out) == 1:
+        img = out[0][:, :, None]
+    else:
+        y, cb, cr = out
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        img = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def jpeg_feature_decoder(payload: bytes, meta) -> list[float]:
+    """Decoder-contract adapter (same 23-dim feature layout as
+    png.png_feature_decoder): real pixel statistics from the decoded
+    raster; non-JPEG payloads raise -> ok=False rows."""
+    from medacy_spark.functions.png import raster_features
+
+    return raster_features(jpeg_decode(payload))

@@ -227,7 +227,14 @@ def png_feature_decoder(payload: bytes, meta) -> list[float]:
     [width, height, channels, mean, std, min, max, hist16...] where the
     histogram is over per-pixel luminance (mean across color channels),
     normalized to sum 1."""
-    img = png_decode(payload)
+    return raster_features(png_decode(payload))
+
+
+def raster_features(img: np.ndarray) -> list[float]:
+    """The shared 23-dim feature layout every codec adapter emits
+    (png/jpeg/fake): [width, height, channels, mean, std, min, max,
+    hist16...] with the histogram over per-pixel luminance (mean across
+    color channels), normalized to sum 1."""
     h, w, ch = img.shape
     pix = img.astype(np.float64)
     lum = pix[:, :, : min(ch, 3)].mean(axis=2)

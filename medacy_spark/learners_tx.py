@@ -253,8 +253,9 @@ class TransformerCRFLearner:
         p = self._params
         n = len(words)
         if n > self.max_len:
+            # callers chunk (fit/_decode); reaching here is a logic error
             raise ValueError(
-                f"sentence of {n} tokens exceeds max_len={self.max_len}"
+                f"sequence of {n} tokens exceeds max_len={self.max_len}"
             )
         ids, chars = self._encode(words)
         feat = np.concatenate(
@@ -357,8 +358,20 @@ class TransformerCRFLearner:
     ) -> "TransformerCRFLearner":
         """Same contract as BiLSTMCRFLearner.fit: ``labels``/``vocab``
         fix the global classes and embedding rows (fit_sharded passes
-        both), ``init_params`` warm-starts from an export_params dict."""
+        both), ``init_params`` warm-starts from an export_params dict.
+
+        Sequences longer than ``max_len`` are split into consecutive
+        ``max_len`` training windows (standard BERT practice — the
+        reference truncates at its 512 cap in encode_sequences;
+        windowing keeps every token's gold label instead of dropping
+        the tail). Attention is O(n²), so the cap also bounds
+        per-sequence compute."""
         examples = [(list(w), list(g)) for w, g in examples if len(w)]
+        examples = [
+            (w[i : i + self.max_len], g[i : i + self.max_len])
+            for w, g in examples
+            for i in range(0, len(w), self.max_len)
+        ]
         if labels is None:
             label_set = {"O"}
             for _, g in examples:
@@ -485,12 +498,17 @@ class TransformerCRFLearner:
     def _decode(self, words: Sequence[str]) -> list[str]:
         if not words:
             return []
-        S = self._emissions(words)
-        if self.using_crf:
-            path = viterbi_decode(S, self._params["T"])
-        else:
-            path = S.argmax(axis=1).tolist()
-        return [self.labels[int(i)] for i in path]
+        out: list[str] = []
+        # decode in the same max_len windows fit trains on; labels stay
+        # 1:1 with the input tokens (the Arrow scoring stage's contract)
+        for i in range(0, len(words), self.max_len):
+            S = self._emissions(words[i : i + self.max_len])
+            if self.using_crf:
+                path = viterbi_decode(S, self._params["T"])
+            else:
+                path = S.argmax(axis=1).tolist()
+            out.extend(self.labels[int(j)] for j in path)
+        return out
 
     def __call__(self, sentences: list[list[str]]) -> list[list[str]]:
         if self._params is None:

@@ -93,14 +93,17 @@ def extract_media_features(
     """
     if decoder == "png":
         from medacy_spark.functions.png import png_feature_decoder as decoder  # noqa: F811
+    elif decoder == "jpeg":
+        from medacy_spark.functions.jpeg import jpeg_feature_decoder as decoder  # noqa: F811
     elif decoder is None:
         if not fake:
             # config error, raised at plan time on the driver — a decoder's
             # own per-row exceptions (any type) are flagged, never re-raised
             raise NotImplementedError(
-                "non-PNG media decode requires PIL/ffmpeg — not in this "
-                "container; pass decoder='png', decoder=<callable>, or "
-                "fake=True for the deterministic test decoder"
+                "audio/video media decode requires ffmpeg — not in this "
+                "container; pass decoder='png', decoder='jpeg', "
+                "decoder=<callable>, or fake=True for the deterministic "
+                "test decoder"
             )
 
         def decoder(payload, meta):  # noqa: F811 - the documented default

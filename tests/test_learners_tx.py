@@ -168,3 +168,22 @@ def test_transformer_fit_sharded_model_averaging(spark):
     learner.fit_sharded(sent_df, n_shards=4, mix_rounds=3, epochs_per_round=20)
     it = sum(1 for w, tags in test if learner([w])[0][-2] == tags[-2]) / len(test)
     assert it == 1.0
+
+
+def test_transformer_chunks_long_sequences():
+    """Sequences beyond max_len train and decode in consecutive windows
+    (the reference truncates; windowing keeps the 1:1 label contract the
+    Arrow scoring stage requires)."""
+    from medacy_spark.learners_tx import TransformerCRFLearner
+
+    learner = TransformerCRFLearner(
+        d_model=8, n_heads=2, d_ff=12, n_layers=1, char_dim=4,
+        embedding_dim=5, epochs=2, max_len=6,
+    )
+    words = [f"w{i % 4}" for i in range(20)]
+    gold = ["O" if i % 4 else "Drug" for i in range(20)]
+    learner.fit([(words, gold)])
+    pred = learner([words])[0]
+    assert len(pred) == 20  # labels stay 1:1 with tokens across windows
+    short = learner([words[:3]])[0]
+    assert len(short) == 3

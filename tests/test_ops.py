@@ -312,7 +312,7 @@ def test_media_decoder_contract(spark, doc_ids):
     # plan time (a real decoder's per-row exceptions are flagged instead)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with _pytest.raises(NotImplementedError, match="requires ffmpeg"):
         extract_media_features(media)
 
     # a decoder raising NotImplementedError for ONE row (unsupported
@@ -470,3 +470,85 @@ def test_png_decoder_in_media_stage(spark):
     assert got[100]["feature"][:3] == [32.0, 32.0, 4.0]
     assert got[100]["feature"][3] == pytest.approx(93.799, abs=1e-3)
     assert not got[101]["ok"] and got[101]["feature"] is None
+
+
+def test_jpeg_decoder_real_fixtures_and_error_contract():
+    """The pure-Python baseline JPEG decoder (functions/jpeg.py) against
+    rasters from three unrelated real encoders, two with cross-FORMAT
+    ground truth (same image shipped as PNG by the source test suite —
+    see FIXTURES.md §12): flat gray decodes exactly, the color icon
+    matches the PNG decode at luma PSNR ≥ 35 dB with JPEG's chroma-edge
+    loss bounded, a 720x477 production photo decodes to pinned stats,
+    and unsupported/corrupt inputs raise the documented ValueError."""
+    import numpy as np
+    import pytest
+
+    from medacy_spark.functions.jpeg import jpeg_decode
+    from medacy_spark.functions.png import png_decode
+
+    g = jpeg_decode(open("tests/fixtures/2x2.jpg", "rb").read())
+    gp = png_decode(open("tests/fixtures/2x2.png", "rb").read())
+    assert np.array_equal(g, gp)  # flat gray: DC-only, bit-exact
+
+    j = jpeg_decode(open("tests/fixtures/python.jpg", "rb").read()).astype(float)
+    p = png_decode(open("tests/fixtures/python.png", "rb").read()).astype(float)
+    assert j.shape == p.shape == (16, 16, 3)
+
+    def luma(img):
+        return 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+
+    mse = ((luma(j) - luma(p)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) >= 35.0
+    # chroma loss on the icon's sharp edges is real JPEG loss — bounded,
+    # and confined to few pixels
+    assert (np.abs(j - p).max(axis=2) > 60).sum() <= 20
+
+    photo = jpeg_decode(open("tests/fixtures/photo.jpeg", "rb").read())
+    assert photo.shape == (477, 720, 3)
+    assert round(float(photo.mean()), 3) == 60.179  # regression pin
+    assert round(float(photo.std()), 3) == 29.615
+
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(open("tests/fixtures/progressive.jpg", "rb").read())
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xdbgarbage")
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg at all")
+    # truncated mid-scan: cut a valid file's entropy data
+    whole = open("tests/fixtures/python.jpg", "rb").read()
+    with pytest.raises(ValueError):
+        jpeg_decode(whole[: len(whole) - 40])
+
+
+def test_jpeg_decoder_in_media_stage(spark):
+    """decoder='jpeg' drives the same Arrow mapInPandas stage as 'png':
+    per-row features equal the locally computed ones, corrupt payloads
+    flag ok=False rows, schema identical to the other decoders."""
+    import pytest
+
+    from medacy_spark.functions.jpeg import jpeg_feature_decoder
+    from medacy_spark.operators.multimodal import extract_media_features
+
+    payload = open("tests/fixtures/python.jpg", "rb").read()
+    gray = open("tests/fixtures/2x2.jpg", "rb").read()
+    rows = [
+        (1, "image", bytearray(payload), (16, 16, 0, 1)),
+        (2, "image", bytearray(gray), (2, 2, 0, 1)),
+        (3, "image", bytearray(b"corrupt bytes"), (0, 0, 0, 1)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_media_features(media, decoder="jpeg").collect()
+    }
+    assert out[3]["ok"] is False
+    for mid, data in ((1, payload), (2, gray)):
+        assert out[mid]["ok"] is True
+        expect = jpeg_feature_decoder(data, None)
+        got = list(out[mid]["feature"])
+        assert len(got) == len(expect)
+        assert got == pytest.approx(expect, rel=1e-6, abs=1e-6)

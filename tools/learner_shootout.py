@@ -1,0 +1,84 @@
+"""Head-to-head learner comparison on the reference's own sample dataset
+(VERDICT r5 #4): Model.cross_validate (the reference's k-fold shape,
+model.py:332-475) over sample_dataset_1's 3 PMC docs for every learner
+family — Frequency, Perceptron, CRF, BiLSTM-CRF, Transformer ('BERT') —
+printing the per-label avg-F1 table plus the system micro row for
+BASELINE.md.
+
+Neural learners run reduced pinned epochs (10): the point is a
+deterministic quality ordering on the reference's actual annotation
+schema, not convergence tuning; every learner is seeded, so reruns are
+bit-identical. The pytest gate (tests/test_model.py) asserts the
+ordering on the synthetic corpus, where runtimes stay test-sized.
+
+    python tools/learner_shootout.py [k]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DATASET = "/root/reference/medacy/tests/sample_data/sample_dataset_1"
+
+
+def learners():
+    from medacy_spark.learners import CRFLearner, PerceptronLearner
+    from medacy_spark.learners_nn import BiLSTMCRFLearner
+    from medacy_spark.learners_tx import TransformerCRFLearner
+    from medacy_spark.model import FrequencyLearner
+
+    return {
+        "frequency": FrequencyLearner(),
+        "perceptron": PerceptronLearner(epochs=5, window=2),
+        "crf": CRFLearner(window=2),
+        "bilstm": BiLSTMCRFLearner(epochs=10),
+        # max_len 256: PMC "sentences" reach 1202 tokens under the rule
+        # sentencizer; attention is O(n^2), so shorter windows cut the
+        # fit cost 4x with no schema impact (labels stay 1:1)
+        "transformer": TransformerCRFLearner(
+            epochs=10, using_crf=True, max_len=256
+        ),
+    }
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from medacy_spark.__main__ import _dataset
+    from medacy_spark.model import Model
+    from medacy_spark.session import get_spark
+
+    spark = get_spark(app_name="learner_shootout", cores=8)
+    docs, gold = _dataset(spark, DATASET)
+    docs = docs.cache()
+    gold = gold.cache()
+    out: dict[str, dict] = {}
+    for name, learner in learners().items():
+        rows = Model(spark, learner).cross_validate(docs, gold, k).collect()
+        table = {
+            r["label"]: {
+                "p": round(r["avg_precision"], 4),
+                "r": round(r["avg_recall"], 4),
+                "f1": round(r["avg_f1"], 4),
+            }
+            for r in rows
+        }
+        out[name] = table
+        sys_row = table.get("system", {})
+        print(f"{name}: system avg_f1={sys_row.get('f1')}", file=sys.stderr)
+    labels = sorted({l for t in out.values() for l in t})
+    # markdown table for BASELINE.md
+    names = list(out)
+    print("| label | " + " | ".join(names) + " |")
+    print("|" + "---|" * (len(names) + 1))
+    for l in labels:
+        cells = [f"{out[n].get(l, {}).get('f1', 0.0):.3f}" for n in names]
+        print(f"| {l} | " + " | ".join(cells) + " |")
+    print(json.dumps({"k": k, "results": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
