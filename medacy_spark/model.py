@@ -110,6 +110,18 @@ class Model:
         # sentences collect to the driver (the reference's own training
         # shape); larger ones use sharded iterative parameter mixing
         self.driver_fit_max_sentences = 50_000
+        # training sequences longer than this are windowed into
+        # non-overlapping chunks before the fit. The reference always
+        # trains on parser/sentencizer sentences (base_pipeline.py:95-99),
+        # so its learners never see kilotoken sequences — but a tokenizer
+        # without sentence breaks (tokenize_native on prose whose periods
+        # attach to words) hands the whole document to the learner as ONE
+        # training unit, and per-SEQUENCE update rules starve: 3 docs =
+        # 3 structured-perceptron updates per epoch, which stays all-O
+        # (measured: 0/778 non-O in-sample at 50 epochs unchunked vs
+        # 511/778 chunked; see BENCH.md round 6). 256 matches the
+        # transformer's max_len default. None disables.
+        self.fit_max_seq_len = 256
         self._bc = None
 
     # ------------------------------------------------------------------ fit
@@ -148,6 +160,23 @@ class Model:
             # cut the lineage: the count, the collect/shard passes and the
             # label scan would each re-run tokenize + overlay otherwise
             ).localCheckpoint(eager=False)
+            limit = self.fit_max_seq_len
+            if limit:
+                # window overlong sequences into ≤limit-token chunks.
+                # sent_id is rescaled so chunk keys stay unique and keep
+                # the original order — fit_sharded's in-shard sort and the
+                # driver path's orderBy both rely on distinct keys for a
+                # deterministic sequence order
+                nparts = F.greatest(F.ceil(F.size("words") / limit), F.lit(1))
+                sent_df = sent_df.withColumn(
+                    "part", F.explode(F.sequence(F.lit(0), (nparts - 1).cast("int")))
+                ).select(
+                    "doc_id",
+                    (F.col("sent_id").cast("long") * 1_000_000 + F.col("part"))
+                    .alias("sent_id"),
+                    F.slice("words", F.col("part") * limit + 1, limit).alias("words"),
+                    F.slice("labels", F.col("part") * limit + 1, limit).alias("labels"),
+                )
             n_sents = sent_df.count()
             can_shard = hasattr(self.learner, "fit_sharded")
             if n_sents <= self.driver_fit_max_sentences or not can_shard:

@@ -54,6 +54,86 @@ def test_cross_validate(spark, doc_ids):
         Model(spark).cross_validate(docs, gold, num_folds=1)
 
 
+def test_learner_shootout_ordering(spark):
+    """The shootout's qualitative ordering (tools/learner_shootout.py →
+    BASELINE.md), pinned on the synthetic corpus where runtimes stay
+    test-sized: every context learner — perceptron, CRF, BiLSTM-CRF,
+    transformer — separates the ambiguous surface perfectly under
+    cross-validation, while the frequency memorizer collapses both
+    contexts onto one label. All learners are seeded/deterministic, so
+    this ordering is stable across reruns by construction."""
+    from medacy_spark.learners import CRFLearner, PerceptronLearner
+    from medacy_spark.learners_nn import BiLSTMCRFLearner
+    from medacy_spark.learners_tx import TransformerCRFLearner
+
+    text = "take x now . felt x today ."
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    gold = spark.createDataFrame(
+        [(i, t, s, e, "x") for i in range(40)
+         for t, s, e in (("Drug", 5, 6), ("ADE", 18, 19))],
+        "doc_id long, tag string, start long, end long, text string",
+    )
+    fams = {
+        "frequency": FrequencyLearner(),
+        "perceptron": PerceptronLearner(epochs=5, window=2),
+        "crf": CRFLearner(epochs=10, window=2),
+        # 8 epochs leaves the micro-task at all-O; decoding flips to the
+        # learned labels between 8 and 20 (probed driver-side round 6)
+        "bilstm": BiLSTMCRFLearner(embedding_dim=12, hidden_dim=16, epochs=24),
+        "transformer": TransformerCRFLearner(
+            d_model=16, n_heads=2, d_ff=32, n_layers=1, epochs=15,
+            using_crf=True),
+    }
+    f1 = {}
+    for name, lrn in fams.items():
+        rows = Model(spark, lrn).cross_validate(docs, gold, 2).collect()
+        f1[name] = [r for r in rows if r["label"] == "system"][0]["avg_f1"]
+    assert f1["frequency"] <= 0.75
+    for ctx in ("perceptron", "crf", "bilstm", "transformer"):
+        assert f1[ctx] >= 0.9, (ctx, f1)
+        assert f1[ctx] > f1["frequency"]
+
+
+def test_fit_windows_overlong_training_sequences(spark):
+    """fit_max_seq_len: per-sequence update rules starve when a tokenizer
+    without sentence breaks hands whole documents to the learner as one
+    giant training unit (3 PMC docs = 3 structured-perceptron updates per
+    epoch ⇒ all-O; measured round 6). The fit-side windowing restores
+    learning with NO tokenizer change; disabling it reproduces the
+    failure."""
+    from medacy_spark.learners import PerceptronLearner
+
+    # one long unsegmented "sentence": periods attach to words, so
+    # tokenize_native keeps each doc as a single ~400-token sequence
+    unit = "the dog chased drugx fast. then it felt adey today."
+    text = " ".join([unit] * 40)  # ~400 tokens, no standalone '.'
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    import re
+
+    rows = [("Drug", m.start(), m.end()) for m in re.finditer(r"drugx", text)]
+    rows += [("ADE", m.start(), m.end()) for m in re.finditer(r"adey", text)]
+    gold = spark.createDataFrame(
+        [(i, t, s, e, text[s:e]) for i in range(3) for t, s, e in rows],
+        "doc_id long, tag string, start long, end long, text string",
+    )
+
+    starved = Model(spark, PerceptronLearner(epochs=3, window=2))
+    starved.fit_max_seq_len = None
+    n_starved = starved.fit(docs, gold).predict(docs).count()
+
+    windowed = Model(spark, PerceptronLearner(epochs=3, window=2))
+    assert windowed.fit_max_seq_len  # guard is ON by default
+    windowed.fit_max_seq_len = 64
+    n_windowed = windowed.fit(docs, gold).predict(docs).count()
+
+    assert n_starved == 0        # the failure mode this guard closes
+    assert n_windowed >= 200     # same data, same epochs, windowed fit
+
+
 def test_reference_dataset_train_predict_validate(spark, tmp_path):
     """The reference's main user journey (medacy -d DIR train/predict/
     validate) on the reference's OWN dataset: fit on the BRAT dir, save +

@@ -11,6 +11,16 @@ schema, not convergence tuning; every learner is seeded, so reruns are
 bit-identical. The pytest gate (tests/test_model.py) asserts the
 ordering on the synthetic corpus, where runtimes stay test-sized.
 
+Tokenization is the reference shape: the clinical tokenizer + rule
+Sentencizer (the reference trains on parser sentences,
+base_pipeline.py:95-99). The native fast-path tokenizer only breaks
+sentences on standalone '.' tokens, so on PMC prose it hands each doc
+to the learner as ONE ~1.6k-token sequence — per-sequence update rules
+(structured perceptron, CRF SGD) then underfit catastrophically
+(measured round 6: 0/778 non-O in-sample at 50 epochs; see BENCH.md).
+Model.fit's fit_max_seq_len=256 windowing bounds that failure mode, but
+real sentence boundaries are both faithful and higher-quality.
+
     python tools/learner_shootout.py [k]
 """
 
@@ -32,9 +42,14 @@ def learners():
 
     return {
         "frequency": FrequencyLearner(),
-        "perceptron": PerceptronLearner(epochs=5, window=2),
-        "crf": CRFLearner(window=2),
-        "bilstm": BiLSTMCRFLearner(epochs=10),
+        "perceptron": PerceptronLearner(epochs=10, window=2),
+        # SGD on the regularized log-likelihood converges slower than the
+        # perceptron's mistake-driven updates; 10 epochs leaves the CRF
+        # near all-O on 2-doc folds, 30 is where held-out F1 plateaus
+        "crf": CRFLearner(epochs=30, window=2),
+        # the BiLSTM's CRF decode stays all-O until ~epoch 20 (the
+        # micro-task probe in tests/test_model.py flips between 8 and 20)
+        "bilstm": BiLSTMCRFLearner(epochs=24),
         # max_len 256: PMC "sentences" reach 1202 tokens under the rule
         # sentencizer; attention is O(n^2), so shorter windows cut the
         # fit cost 4x with no schema impact (labels stay 1:1)
@@ -48,6 +63,7 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     from medacy_spark.__main__ import _dataset
     from medacy_spark.model import Model
+    from medacy_spark.operators.tokenize import tokenize_clinical
     from medacy_spark.session import get_spark
 
     spark = get_spark(app_name="learner_shootout", cores=8)
@@ -56,7 +72,8 @@ def main() -> None:
     gold = gold.cache()
     out: dict[str, dict] = {}
     for name, learner in learners().items():
-        rows = Model(spark, learner).cross_validate(docs, gold, k).collect()
+        m = Model(spark, learner, tokenizer=tokenize_clinical)
+        rows = m.cross_validate(docs, gold, k).collect()
         table = {
             r["label"]: {
                 "p": round(r["avg_precision"], 4),
