@@ -99,39 +99,34 @@ def test_learner_shootout_ordering(spark):
 def test_fit_windows_overlong_training_sequences(spark):
     """fit_max_seq_len: per-sequence update rules starve when a tokenizer
     without sentence breaks hands whole documents to the learner as one
-    giant training unit (3 PMC docs = 3 structured-perceptron updates per
-    epoch ⇒ all-O; measured round 6). The fit-side windowing restores
-    learning with NO tokenizer change; disabling it reproduces the
-    failure."""
+    giant, DIVERSE training unit — tokenize_native only splits on
+    standalone '.' tokens, so each PMC doc of the reference's own dataset
+    becomes one ~1.6k-token sequence and 3 docs = 3 structured-perceptron
+    updates per epoch, which stays all-O even in-sample (measured round 6
+    at 10 AND 50 epochs; a synthetic repetitive corpus does NOT reproduce
+    this — one update on 40 identical patterns generalizes instantly, so
+    the gate uses the real data). The fit-side windowing restores
+    learning with NO tokenizer change."""
+    from medacy_spark.__main__ import _dataset
     from medacy_spark.learners import PerceptronLearner
 
-    # one long unsegmented "sentence": periods attach to words, so
-    # tokenize_native keeps each doc as a single ~400-token sequence
-    unit = "the dog chased drugx fast. then it felt adey today."
-    text = " ".join([unit] * 40)  # ~400 tokens, no standalone '.'
-    docs = spark.createDataFrame(
-        [(i, text) for i in range(3)], "doc_id long, text string"
-    )
-    import re
-
-    rows = [("Drug", m.start(), m.end()) for m in re.finditer(r"drugx", text)]
-    rows += [("ADE", m.start(), m.end()) for m in re.finditer(r"adey", text)]
-    gold = spark.createDataFrame(
-        [(i, t, s, e, text[s:e]) for i in range(3) for t, s, e in rows],
-        "doc_id long, tag string, start long, end long, text string",
+    docs, gold = _dataset(
+        spark,
+        "/root/reference/medacy/tests/sample_data/sample_dataset_1",
     )
 
-    starved = Model(spark, PerceptronLearner(epochs=3, window=2))
+    starved = Model(spark, PerceptronLearner(epochs=10, window=2))
     starved.fit_max_seq_len = None
     n_starved = starved.fit(docs, gold).predict(docs).count()
 
-    windowed = Model(spark, PerceptronLearner(epochs=3, window=2))
+    windowed = Model(spark, PerceptronLearner(epochs=10, window=2))
     assert windowed.fit_max_seq_len  # guard is ON by default
-    windowed.fit_max_seq_len = 64
     n_windowed = windowed.fit(docs, gold).predict(docs).count()
 
-    assert n_starved == 0        # the failure mode this guard closes
-    assert n_windowed >= 200     # same data, same epochs, windowed fit
+    assert n_starved == 0     # the failure mode this guard closes
+    # deterministic fit: measures exactly 45 mentions; margin for any
+    # future tokenizer-rule re-pin
+    assert n_windowed >= 40   # same data, same epochs, windowed fit
 
 
 def test_reference_dataset_train_predict_validate(spark, tmp_path):
