@@ -274,48 +274,73 @@ def pos_sentences() -> tuple[list, list]:
     """Deterministic synthetic POS corpus with genuine context ambiguity:
     'increased' is ADJ in 'the increased dose' but VERB in 'was
     increased' — resolvable only from context, which the rule tagger's
-    per-token CASE chain cannot see. Returns (train, held_out); the
-    held-out split is unseen combinations of seen vocabulary. Shared by
-    the pretrained artifact builder (tools/make_pos_fixture.py), the
-    trained_pos_tags contract oracle, and the quality-gate tests."""
+    per-token CASE chain cannot see. Returns (train, held_out).
+
+    Slot fillers come from a mixed-radix counter, so the 90 training
+    sentences are 90 DISTINCT combinations, and the held-out split scans
+    the counter past the training range skipping any word-sequence that
+    appeared in training — held-out sentences are genuinely unseen
+    combinations of seen vocabulary, asserted disjoint here (the round-6
+    review found the previous index arithmetic had period 6, making
+    'held-out' verbatim training duplicates). Shared by the pretrained
+    artifact builder (tools/make_pos_fixture.py), the trained_pos_tags
+    contract oracle, and the quality-gate tests."""
     adjs = ["red", "large", "small", "increased", "oral", "slow"]
     nouns = ["dose", "patient", "tablet", "infusion", "level", "doctor"]
     verbs = ["increased", "gave", "took", "measured", "reduced", "checked"]
     advs = ["daily", "slowly", "often"]
-    sents = []
-    for i in range(120):
-        a, n1 = adjs[i % 6], nouns[(2 * i + 1) % 6]
-        v, n2 = verbs[(3 * i + 2) % 6], nouns[(i + 4) % 6]
-        d = advs[i % 3]
-        t = i % 3
+
+    def sent(k):
+        a, n1 = adjs[k % 6], nouns[(k // 6) % 6]
+        v, n2 = verbs[(k // 36) % 6], nouns[(k // 2) % 6]
+        d = advs[k % 3]
+        t = k % 3
         if t == 0:
-            words = ["the", a, n1, "was", v]
-            tags = ["DET", "ADJ", "NOUN", "AUX", "VERB"]
-        elif t == 1:
-            words = [n1, v, "the", n2, d]
-            tags = ["NOUN", "VERB", "DET", "NOUN", "ADV"]
-        else:
-            words = ["a", n1, v, a, n2]
-            tags = ["DET", "NOUN", "VERB", "ADJ", "NOUN"]
-        sents.append((words, tags))
-    return sents[:90], sents[90:]
+            return ["the", a, n1, "was", v], ["DET", "ADJ", "NOUN", "AUX", "VERB"]
+        if t == 1:
+            return [n1, v, "the", n2, d], ["NOUN", "VERB", "DET", "NOUN", "ADV"]
+        return ["a", n1, v, a, n2], ["DET", "NOUN", "VERB", "ADJ", "NOUN"]
+
+    train = [sent(k) for k in range(90)]
+    seen = {tuple(w) for w, _ in train}
+    held_out: list = []
+    k = 90
+    while len(held_out) < 30:
+        words, tags = sent(k)
+        if tuple(words) not in seen:
+            held_out.append((words, tags))
+        k += 1
+    assert not {tuple(w) for w, _ in held_out} & seen
+    return train, held_out
 
 
 def boundary_sentences() -> tuple[list, list]:
     """Deterministic synthetic B/I sentence-boundary corpus: each doc has
     an abbreviation '.' that must NOT open a sentence and a real boundary
     that must — the distinction the '.'-rule cannot represent. Returns
-    (train, held_out). Shared by the pretrained artifact builder and the
-    quality-gate tests."""
+    (train, held_out); same mixed-radix/disjointness construction as
+    pos_sentences (the previous arithmetic had period 12 — 'held-out'
+    was verbatim training duplicates). Shared by the pretrained artifact
+    builder and the quality-gate tests."""
     abbrevs = ["dr", "mg", "vs", "approx"]
     nouns = ["smith", "jones", "dose", "level", "patient", "value"]
     verbs = ["rose", "fell", "stayed", "changed"]
 
-    def doc(i):
-        a, n1 = abbrevs[i % 4], nouns[(2 * i) % 6]
-        v, n2 = verbs[(i + 1) % 4], nouns[(2 * i + 3) % 6]
+    def doc(k):
+        a, n1 = abbrevs[k % 4], nouns[(k // 4) % 6]
+        v, n2 = verbs[(k // 2) % 4], nouns[(k // 8) % 6]
         words = [a, ".", n1, v, ".", "then", n2, v, "."]
         bi = ["B", "I", "I", "I", "I", "B", "I", "I", "I"]
         return words, bi
 
-    return [doc(i) for i in range(24)], [doc(i) for i in range(24, 36)]
+    train = [doc(k) for k in range(24)]
+    seen = {tuple(w) for w, _ in train}
+    held_out: list = []
+    k = 24
+    while len(held_out) < 12:
+        words, bi = doc(k)
+        if tuple(words) not in seen:
+            held_out.append((words, bi))
+        k += 1
+    assert not {tuple(w) for w, _ in held_out} & seen
+    return train, held_out

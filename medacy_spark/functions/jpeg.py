@@ -261,6 +261,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     pred = [0] * len(comps)
     rst = 0
     n_mcu = mcux * mcuy
+    # constant per scan component: the DQT table scattered from zigzag to
+    # natural order, and the target plane index — hoisted out of the
+    # Python-bound MCU loop (for a 720x477 4:2:0 image the block loop
+    # otherwise repeats this ~32k times)
+    comp_qnat = []
+    comp_plane = []
+    for c, _, _ in scan:
+        qnat = np.zeros(64, dtype=np.float64)
+        qnat[_ZIGZAG] = qt[c["tq"]]
+        comp_qnat.append(qnat)
+        comp_plane.append(comps.index(c))
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             bits.align_restart(rst)
@@ -268,7 +279,6 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, (c, td, ta) in enumerate(scan):
-            q = qt[c["tq"]]
             dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
@@ -294,16 +304,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             raise ValueError("AC run past block end")
                         coef[_ZIGZAG[k]] = _extend(bits.receive(s), s)
                         k += 1
-                    # coef is natural order (zigzag applied at store time);
-                    # the DQT table arrives in zigzag order — scatter it to
-                    # natural order once per block and dequantize
-                    qnat = np.zeros(64, dtype=np.float64)
-                    qnat[_ZIGZAG] = q
-                    block = (coef * qnat).reshape(8, 8)
+                    # coef is natural order (zigzag applied at store
+                    # time); comp_qnat holds the DQT table already
+                    # scattered to natural order
+                    block = (coef * comp_qnat[ci]).reshape(8, 8)
                     spatial = _M.T @ block @ _M + 128.0
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
-                    planes[comps.index(c)][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                    planes[comp_plane[ci]][y0 : y0 + 8, x0 : x0 + 8] = spatial
     out = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]

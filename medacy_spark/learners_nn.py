@@ -128,6 +128,29 @@ def viterbi_decode(S: np.ndarray, T: np.ndarray) -> list[int]:
     return path
 
 
+def resolve_label_set(examples, labels) -> list[str]:
+    """Sorted label list for a fit() call, shared by both neural
+    learners: derived from the examples when ``labels`` is None,
+    otherwise the supplied set (plus 'O') VALIDATED against the
+    examples — a label outside the supplied set would otherwise surface
+    as an opaque KeyError from the gold-index lookup. Safe for
+    fit_sharded (which derives labels globally); the public kwarg
+    invites mismatches."""
+    if labels is None:
+        label_set = {"O"}
+        for _, g in examples:
+            label_set.update(g)
+        return sorted(label_set)
+    out = sorted(set(labels) | {"O"})
+    unknown = {y for _, g in examples for y in g} - set(out)
+    if unknown:
+        raise ValueError(
+            f"example labels {sorted(unknown)} not in the supplied "
+            f"label set {out}"
+        )
+    return out
+
+
 class _LSTM:
     """One-direction LSTM with exact BPTT. Gate layout in z: [i f o g]."""
 
@@ -343,25 +366,8 @@ class BiLSTMCRFLearner:
         warm-starts from an export_params() dict instead of the seeded
         random init."""
         examples = [(list(w), list(g)) for w, g in examples if len(w)]
-        if labels is None:
-            label_set = {"O"}
-            for _, g in examples:
-                label_set.update(g)
-            self.labels = sorted(label_set)
-        else:
-            self.labels = sorted(set(labels) | {"O"})
+        self.labels = resolve_label_set(examples, labels)
         lab_i = {y: i for i, y in enumerate(self.labels)}
-        if labels is not None:
-            # a label outside the supplied set would otherwise surface as
-            # an opaque KeyError from the gold-index lookup below; safe for
-            # fit_sharded (which derives labels globally) but the public
-            # kwarg invites mismatches
-            unknown = {y for _, g in examples for y in g} - set(self.labels)
-            if unknown:
-                raise ValueError(
-                    f"example labels {sorted(unknown)} not in the supplied "
-                    f"label set {self.labels}"
-                )
         if vocab is None:
             vocab = sorted({w.lower() for ws, _ in examples for w in ws})
         self._build(list(vocab))

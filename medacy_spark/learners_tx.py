@@ -53,6 +53,7 @@ from medacy_spark.learners_nn import (
     _UNK,
     _char_trigram_ids,
     crf_nll_grads,
+    resolve_label_set,
     viterbi_decode,
 )
 
@@ -372,19 +373,7 @@ class TransformerCRFLearner:
             for w, g in examples
             for i in range(0, len(w), self.max_len)
         ]
-        if labels is None:
-            label_set = {"O"}
-            for _, g in examples:
-                label_set.update(g)
-            self.labels = sorted(label_set)
-        else:
-            self.labels = sorted(set(labels) | {"O"})
-            unknown = {y for _, g in examples for y in g} - set(self.labels)
-            if unknown:
-                raise ValueError(
-                    f"example labels {sorted(unknown)} not in the supplied "
-                    f"label set {self.labels}"
-                )
+        self.labels = resolve_label_set(examples, labels)
         lab_i = {y: i for i, y in enumerate(self.labels)}
         if vocab is None:
             vocab = sorted({w.lower() for ws, _ in examples for w in ws})

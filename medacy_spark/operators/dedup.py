@@ -229,21 +229,6 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """num_hashes-wide minhash signature: permutation i takes the min
-    over shingles of an independent per-permutation string hash
-    (see perm_hash for why a linear transform family is not enough).
-    Deterministic across runs and engines."""
-    sigs = []
-    for i in range(num_hashes):
-        sigs.append(
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: perm_hash(s, i, "xxhash64"))
-            )
-        )
-    return F.array(*sigs)
-
-
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",

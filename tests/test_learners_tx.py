@@ -19,21 +19,31 @@ def _tiny_examples():
     ]
 
 
-def _long_distance_corpus(dist=30, n=60):
+def _long_distance_corpus(dist=30, n_train=200, n_test=30):
     """The label of 'it' depends on the FIRST token, ``dist`` fillers
     away — far beyond any feature window and past the horizon a small
     BiLSTM trained with plain SGD holds state across, but one attention
-    hop for a transformer. Fillers are decorrelated from the label."""
+    hop for a transformer. Filler sequences come from a mixed-radix
+    counter so every sentence is a DISTINCT arrangement and the test
+    split is genuinely unseen (asserted) — the round-6 review found the
+    previous arithmetic had period 6, making the 'held-out' measurement
+    in-sample; with real held-out data the transformer still reaches
+    1.0 (it attends to position 0 regardless of fillers) but needs the
+    larger training variety to get there, while the BiLSTM stays at
+    chance (0.5 measured)."""
     fillers = ["one", "two", "three", "four", "five", "six"]
     sents = []
-    for i in range(n):
-        f = [fillers[(2 * i + 3 * j) % 6] for j in range(dist)]
-        trigger = "drug" if i % 2 == 0 else "noise"
+    for k in range(n_train + n_test):
+        base = k // 2
+        f = [fillers[(base // 6 ** (j % 3) + 2 * j) % 6] for j in range(dist)]
+        trigger = "drug" if k % 2 == 0 else "noise"
         label = "DRUG" if trigger == "drug" else "O"
         words = [trigger, *f, "it", "acts"]
         tags = ["O"] * (dist + 1) + [label, "O"]
         sents.append((words, tags))
-    return sents[:45], sents[45:]
+    train, test = sents[:n_train], sents[n_train:]
+    assert not {tuple(w) for w, _ in test} & {tuple(w) for w, _ in train}
+    return train, test
 
 
 @pytest.mark.parametrize("using_crf", [False, True])
@@ -83,9 +93,9 @@ def test_transformer_gradcheck_every_parameter(using_crf):
 def test_transformer_beats_bilstm_on_long_distance_agreement():
     """The done-criterion task (VERDICT r5 #3): at distance 30 and an
     EQUAL training budget (60 epochs, lr 0.05, both seeded), the
-    transformer labels every held-out long-distance token correctly
-    while the BiLSTM sits at chance — attention's one-hop path vs 30
-    recurrence steps under plain SGD."""
+    transformer labels every GENUINELY held-out long-distance token
+    correctly while the BiLSTM sits at chance — attention's one-hop
+    path vs 30 recurrence steps under plain SGD."""
     from medacy_spark.learners_nn import BiLSTMCRFLearner
     from medacy_spark.learners_tx import TransformerCRFLearner
 
@@ -95,7 +105,7 @@ def test_transformer_beats_bilstm_on_long_distance_agreement():
     bi = BiLSTMCRFLearner(epochs=60, lr=0.05).fit(train)
     it_bi = sum(1 for w, tags in test if bi([w])[0][-2] == tags[-2]) / len(test)
     assert it_tx == 1.0
-    assert it_bi < 0.7  # measured 0.467 (= the base rate of the majority tag)
+    assert it_bi < 0.7  # measured 0.5 (= chance on the balanced trigger)
 
 
 def test_transformer_pickle_spark_scoring_and_spec(spark):

@@ -14,30 +14,26 @@ protocol to bench.py; prints one JSON line. Run alone on an idle host
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession, functions as F
+
+# ONE benchmark-corpus definition across the dedup tools: guard_ab runs
+# the megacluster-free slice (mega=0) of dedup_scale's generator, so a
+# change there moves both tools' BENCH.md numbers together
+from dedup_scale import web_docs as _scale_web_docs
 
 from medacy_spark.operators.dedup import dedup_corpus, minhash_lsh_candidates
 from medacy_spark.operators.graph import connected_components
 
-
-def web_docs(spark, n):
-    base = F.when(F.col("id") % 200 == 1, F.col("id") - 1).otherwise(F.col("id"))
-    words = F.transform(
-        F.sequence(F.lit(1), F.lit(60)),
-        lambda i: F.concat(
-            F.lit("w"), F.pmod(F.xxhash64(base, i), F.lit(16384)).cast("string")
-        ),
-    )
-    return spark.range(n).select(
-        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
-    )
+web_docs = functools.partial(_scale_web_docs, mega=0)
 
 
 def dedup_unguarded(df):
