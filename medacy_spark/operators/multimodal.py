@@ -4,17 +4,22 @@ Image/audio/video travel as opaque `binary` columns with a metadata struct;
 decode/feature-extraction runs in Arrow-batched mapInPandas.
 
 Decoders, per the pluggable contract on extract_media_features:
-  * ``decoder="png"`` — a REAL pixel decoder: the pure-Python/numpy PNG
-    codec in functions/png.py (zlib inflate + scanline unfiltering, all
-    five PNG filters). Works in this container; real pixel statistics.
-  * general image/audio/video codecs (PIL/ffmpeg) are NOT in this
+  * ``decoder="png"`` / ``"jpeg"`` — REAL pixel decoders: the
+    pure-Python/numpy codecs in functions/png.py and functions/jpeg.py.
+  * ``decoder="wav"`` — REAL audio decode: functions/wav.py (PCM +
+    IEEE-float RIFF/WAVE) feeding genuine signal statistics.
+  * ``decoder="gif"`` — REAL frame-sequence decode: functions/gif.py
+    (full LZW + animation composition); extract_frame_features below
+    samples and featurizes individual frames, making the video-shaped
+    path real for the one multi-frame format this container can decode.
+  * compressed-video containers (mp4 etc.) need ffmpeg, NOT in this
     container — pass their adapter as ``decoder=callable`` in a
     production image; the plan does not change.
   * ``fake=True`` — deterministic byte-histogram stand-in for payloads
     that are not real media, exercising the identical Spark topology.
 
-Contract tested in tests/test_multimodal.py; the PNG decoder proves the
-swap-in on real rasters inside the Arrow batch.
+Contract tested in tests/test_ops.py; the PNG/JPEG/WAV/GIF decoders
+prove the swap-in on real encoder output inside the Arrow batch.
 """
 
 from __future__ import annotations
@@ -80,12 +85,13 @@ def extract_media_features(
           (feature=None, ok=False) so one corrupt payload never fails the
           task (the reference's corrupt-file skip, dataset.py:150-155).
 
-    ``decoder`` may be a callable or the string ``"png"``, which selects
-    the container-native pure-Python PNG pixel decoder
-    (functions/png.png_feature_decoder — real decoded rasters, fixed
-    23-dim stats+histogram features). General codecs (JPEG, audio,
-    video) need PIL/ffmpeg, absent here: with neither ``decoder`` nor
-    ``fake`` the stage raises NotImplementedError. ``fake=True`` selects
+    ``decoder`` may be a callable or one of the strings ``"png"``,
+    ``"jpeg"``, ``"wav"``, ``"gif"``, selecting the container-native
+    pure-Python decoders (real decoded rasters/waveforms/frame
+    sequences; fixed-dim stats features — 23 for rasters and audio,
+    25 for GIF). Compressed-video containers need ffmpeg, absent here:
+    with neither ``decoder`` nor ``fake`` the stage raises
+    NotImplementedError. ``fake=True`` selects
     the deterministic byte-histogram stand-in, which exercises the
     identical mapInPandas topology — iterator batching, bounded batch
     memory via arrow.maxRecordsPerBatch, per-row error flagging instead
@@ -95,13 +101,18 @@ def extract_media_features(
         from medacy_spark.functions.png import png_feature_decoder as decoder  # noqa: F811
     elif decoder == "jpeg":
         from medacy_spark.functions.jpeg import jpeg_feature_decoder as decoder  # noqa: F811
+    elif decoder == "wav":
+        from medacy_spark.functions.wav import wav_feature_decoder as decoder  # noqa: F811
+    elif decoder == "gif":
+        from medacy_spark.functions.gif import gif_feature_decoder as decoder  # noqa: F811
     elif decoder is None:
         if not fake:
             # config error, raised at plan time on the driver — a decoder's
             # own per-row exceptions (any type) are flagged, never re-raised
             raise NotImplementedError(
-                "audio/video media decode requires ffmpeg — not in this "
-                "container; pass decoder='png', decoder='jpeg', "
+                "compressed-video container decode requires ffmpeg — not in "
+                "this container; pass decoder='png'/'jpeg' (images), "
+                "'wav' (audio), 'gif' (image/frame sequences), "
                 "decoder=<callable>, or fake=True for the deterministic "
                 "test decoder"
             )
@@ -133,11 +144,61 @@ def extract_media_features(
 
 def frame_sample_plan(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Video frame-sampling plumbing: explode frame indices 0..n_frames-1
-    step every_n — the distribution-side half of frame extraction (the
-    decode itself is the stub above)."""
+    step every_n — the distribution-side half of frame extraction when
+    the decoder is external (ffmpeg adapter). For GIF payloads the
+    decode itself is real too: see extract_frame_features."""
     return media.filter(F.col("media_type") == "video").select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+FRAME_FEATURE_SCHEMA = "doc_id long, frame_no int, feature array<float>, ok boolean"
+
+
+def extract_frame_features(
+    media: DataFrame, every_n: int = 5, max_frames: int = 64
+) -> DataFrame:
+    """REAL per-frame feature extraction for frame-sequence payloads
+    (animated GIF — the one multi-frame format decodable without
+    ffmpeg): decode each payload once inside the Arrow batch, sample
+    every ``every_n``-th composited frame (capped at ``max_frames``
+    sampled frames per doc), and emit the shared 23-dim raster stats
+    per frame. Corrupt payloads yield a single (frame_no=-1, ok=False)
+    row, mirroring the per-row error contract of the still-image stage.
+
+    One decode serves all sampled frames — the naive alternative
+    (frame_sample_plan explode → per-(doc, frame) decode join) would
+    re-decode the payload once per sampled frame; at corpus scale the
+    decode dominates, so the explode happens AFTER decode, driver-free,
+    inside the same mapInPandas pass.
+    """
+    from medacy_spark.functions.gif import gif_decode, gif_frame_rgb
+    from medacy_spark.functions.png import raster_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, feats, oks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames, _delays = gif_decode(bytes(payload))
+                    sampled = range(0, frames.shape[0], every_n)
+                    for frame_no in list(sampled)[:max_frames]:
+                        ids.append(doc_id)
+                        frame_nos.append(frame_no)
+                        feats.append(
+                            [float(v) for v in raster_features(gif_frame_rgb(frames[frame_no]))]
+                        )
+                        oks.append(True)
+                except Exception:
+                    ids.append(doc_id)
+                    frame_nos.append(-1)
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_nos, "feature": feats, "ok": oks}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)

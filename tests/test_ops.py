@@ -552,3 +552,405 @@ def test_jpeg_decoder_in_media_stage(spark):
         got = list(out[mid]["feature"])
         assert len(got) == len(expect)
         assert got == pytest.approx(expect, rel=1e-6, abs=1e-6)
+
+
+def test_wav_decoder_real_fixtures_and_error_contract():
+    """The pure-Python WAV decoder (functions/wav.py) against CPython's
+    test-suite audio (the SAME pluck recording encoded at 8/16/24/32-bit
+    by a real encoder — cross-depth ground truth like the JPEG codec's
+    cross-format checks), with the stdlib `wave` module as an independent
+    container parser, plus synthetic encodes and the error contract."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+    import pytest
+
+    from medacy_spark.functions.wav import audio_features, wav_decode
+
+    sigs = {}
+    for depth in (8, 16, 24, 32):
+        payload = open(f"tests/fixtures/pluck-pcm{depth}.wav", "rb").read()
+        s, rate = wav_decode(payload)
+        w = wave_mod.open(io.BytesIO(payload))
+        # independent chunk walk: stdlib wave agrees on the geometry
+        assert (w.getnframes(), w.getnchannels(), w.getframerate()) == (
+            s.shape[0], s.shape[1], rate,
+        )
+        if depth == 16:  # and on the literal sample values
+            ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            assert np.array_equal(
+                ref.reshape(-1, 2).astype(np.float64) / 32768.0, s
+            )
+        sigs[depth] = s.mean(axis=1)
+    # same master at four depths: 24/32-bit decodes are numerically
+    # identical, 8-bit differs only by quantization
+    assert np.corrcoef(sigs[16], sigs[24])[0, 1] > 0.99999
+    assert np.abs(sigs[24] - sigs[32]).max() < 1.0 / 8388608
+    assert np.corrcoef(sigs[16], sigs[8])[0, 1] > 0.999
+
+    # stdlib wave as a real independent ENCODER: a 440 Hz sine round-trips
+    # with the dominant frequency recovered by the spectral features
+    rate, n = 8000, 8000
+    t = np.arange(n) / rate
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    w = wave_mod.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(sine.tobytes())
+    w.close()
+    s, r = wav_decode(buf.getvalue())
+    feats = audio_features(s, r)
+    assert feats[1] == 8000.0 and feats[2] == 1.0
+    assert feats[4] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)  # rms
+    assert feats[10] == pytest.approx(440.0, abs=1.0)  # dominant freq
+
+    def riff(fmt_body, data):
+        chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # IEEE float32 and WAVE_FORMAT_EXTENSIBLE-wrapped PCM: hand-built per
+    # spec, exact sample recovery
+    f32 = np.linspace(-1, 1, 64, dtype="<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    s, r = wav_decode(riff(fmt, f32.tobytes()))
+    assert r == 8000 and np.array_equal(s[:, 0], f32.astype(np.float64))
+    pcm = np.arange(-32, 32, dtype="<i2")
+    ext = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16, 0x4)
+    ext += struct.pack("<H", 1) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    s, _ = wav_decode(riff(ext, pcm.tobytes()))
+    assert np.array_equal(s[:, 0], pcm.astype(np.float64) / 32768.0)
+
+    # error contract: ANY invalid input raises ValueError
+    good = open("tests/fixtures/pluck-pcm16.wav", "rb").read()
+    for bad in (
+        b"",
+        b"RIFF\x00\x00\x00\x00WAVF" + good[12:],      # bad magic
+        good[:40],                                     # truncated chunk
+        riff(struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8), b"\x00" * 8),   # ADPCM
+        riff(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16), b"\x00" * 7), # partial frame
+        riff(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 4, 16), b"\x00" * 8), # align mismatch
+        riff(b"\x01\x00", b"\x00\x00"),                # fmt too small
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE",      # no chunks at all
+    ):
+        with pytest.raises(ValueError):
+            wav_decode(bad)
+
+    # allocation cap: the declared data size is checked BEFORE any array
+    # materializes (the PNG decompression-bomb lesson)
+    import medacy_spark.functions.wav as wav_fn
+    orig = wav_fn._MAX_DATA_BYTES
+    try:
+        wav_fn._MAX_DATA_BYTES = 16
+        with pytest.raises(ValueError, match="allocation cap"):
+            wav_decode(riff(struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8), b"\x00" * 32))
+    finally:
+        wav_fn._MAX_DATA_BYTES = orig
+
+
+def test_wav_decoder_in_media_stage(spark):
+    """decoder='wav' drives the same Arrow mapInPandas stage as the image
+    codecs: per-row features equal the locally computed ones, corrupt
+    payloads flag ok=False, schema identical to the other decoders."""
+    import pytest
+
+    from medacy_spark.functions.wav import wav_feature_decoder
+    from medacy_spark.operators.multimodal import extract_media_features
+
+    pluck = open("tests/fixtures/pluck-pcm16.wav", "rb").read()
+    ipy = open("tests/fixtures/ipython-test.wav", "rb").read()
+    rows = [
+        (1, "audio", bytearray(pluck), (None, None, 11025, None)),
+        (2, "audio", bytearray(ipy), (None, None, 44100, None)),
+        (3, "audio", bytearray(b"not audio"), (None, None, 0, None)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_media_features(media, decoder="wav").collect()
+    }
+    assert out[3]["ok"] is False and out[3]["feature"] is None
+    for mid, data in ((1, pluck), (2, ipy)):
+        assert out[mid]["ok"] is True
+        expect = wav_feature_decoder(data, None)
+        assert len(out[mid]["feature"]) == 23
+        assert list(out[mid]["feature"]) == pytest.approx(expect, rel=1e-5, abs=1e-6)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int, clear_every: int = 0) -> bytes:
+    """Test-side GIF LZW encoder, written independently from the decoder
+    (classic encoder algorithm + a simulation of the decoder's table
+    length for width decisions). clear_every > 0 emits periodic CLEAR
+    codes to exercise dictionary resets."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    size = min_code_size + 1
+    emit(clear, size)
+    table, next_code, dec_len, n_emitted = fresh(), eoi + 1, clear + 2, 0
+
+    def emit_data(code):
+        # decoder grows its width after appending an entry (every data
+        # code past the first since a clear) — mirror that exactly
+        nonlocal dec_len, size, n_emitted
+        emit(code, size)
+        n_emitted += 1
+        if n_emitted >= 2:
+            dec_len += 1
+            if dec_len >= (1 << size) and size < 12:
+                size += 1
+
+    w = b""
+    for i, ch in enumerate(bytes(indices)):
+        if clear_every and i and i % clear_every == 0:
+            if w:
+                emit_data(table[w])
+                w = b""
+            emit(clear, size)
+            table, next_code, dec_len, n_emitted = fresh(), eoi + 1, clear + 2, 0
+            size = min_code_size + 1
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        elif next_code >= 4096:
+            emit_data(table[w])
+            w = bytes([ch])
+        else:
+            emit_data(table[w])
+            table[wc] = next_code
+            next_code += 1
+            w = bytes([ch])
+    if w:
+        emit_data(table[w])
+    emit(eoi, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_ROWS = lambda h: (  # noqa: E731 - spec row order, 4 passes
+    list(range(0, h, 8)) + list(range(4, h, 8))
+    + list(range(2, h, 4)) + list(range(1, h, 2))
+)
+
+
+def _make_gif(screen, frames, palette, min_code_size=2, interlace=False,
+              clear_every=0, version=b"GIF89a"):
+    """Assemble a GIF from spec primitives: frames are dicts with keys
+    idx (2-D numpy index array), left, top, and optional GCE fields
+    (delay, transparent, disposal)."""
+    import struct as st
+
+    import numpy as np
+
+    size_bits = max((len(palette) - 1).bit_length() - 1, 0)
+    n_pal = 2 << size_bits
+    out = bytearray(version)
+    out += st.pack("<HH", *screen)
+    out += bytes([0x80 | size_bits, 0, 0])
+    for i in range(n_pal):
+        out += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+    for fr in frames:
+        if any(k in fr for k in ("delay", "transparent", "disposal")):
+            flags = (fr.get("disposal", 0) << 2) | (1 if "transparent" in fr else 0)
+            out += b"\x21\xf9\x04" + bytes([flags])
+            out += st.pack("<H", fr.get("delay", 0))
+            out += bytes([fr.get("transparent", 0), 0])
+        idx = np.asarray(fr["idx"], dtype=np.uint8)
+        h, w = idx.shape
+        out += b"\x2c" + st.pack("<HHHH", fr.get("left", 0), fr.get("top", 0), w, h)
+        out += bytes([0x40 if interlace else 0])
+        rows = idx[_GIF_INTERLACE_ROWS(h)] if interlace else idx
+        data = _gif_lzw_encode(rows.tobytes(), min_code_size, clear_every)
+        out += bytes([min_code_size])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decoder_spec_encodes():
+    """gif_decode against the test-side spec encoder (independent LZW
+    implementation): exact pixel recovery through dictionary growth,
+    periodic CLEAR codes, interlacing, transparency, and the three
+    animation disposal methods."""
+    import numpy as np
+    import pytest
+
+    from medacy_spark.functions.gif import gif_decode
+
+    rng = np.random.RandomState(7)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    pal_arr = np.array(palette, dtype=np.uint8)
+
+    # dictionary growth across width bumps: a 64x64 structured raster
+    idx = (np.add.outer(np.arange(64), np.arange(64)) % 4).astype(np.uint8)
+    frames, delays = gif_decode(_make_gif((64, 64), [{"idx": idx}], palette))
+    assert frames.shape == (1, 64, 64, 4) and delays == [0]
+    assert np.array_equal(frames[0][:, :, :3], pal_arr[idx])
+
+    # random raster: exercises the KwKwK (code == table length) path;
+    # same raster again with periodic CLEARs must decode identically
+    ridx = rng.randint(0, 4, (33, 29)).astype(np.uint8)
+    plain, _ = gif_decode(_make_gif((29, 33), [{"idx": ridx}], palette))
+    cleared, _ = gif_decode(
+        _make_gif((29, 33), [{"idx": ridx}], palette, clear_every=97)
+    )
+    assert np.array_equal(plain[0][:, :, :3], pal_arr[ridx])
+    assert np.array_equal(plain, cleared)
+
+    # interlaced: the encoder permutes rows into spec pass order, the
+    # decoder must restore the original raster
+    iidx = rng.randint(0, 4, (19, 11)).astype(np.uint8)
+    inter, _ = gif_decode(_make_gif((11, 19), [{"idx": iidx}], palette, interlace=True))
+    assert np.array_equal(inter[0][:, :, :3], pal_arr[iidx])
+
+    # animation: full red frame; then a 2x2 green patch at (1,1) with a
+    # transparent pixel showing red through; disposal=3 (restore
+    # previous) on frame 2 means frame 3's patch composites over frame
+    # 1's canvas, not frame 2's; disposal=2 on frame 3 restores its rect
+    # to transparent before frame 4
+    f1 = {"idx": np.full((4, 4), 1, np.uint8)}
+    f2 = {"idx": np.array([[2, 0], [2, 2]], np.uint8), "left": 1, "top": 1,
+          "transparent": 0, "disposal": 3, "delay": 5}
+    f3 = {"idx": np.full((1, 1), 3, np.uint8), "left": 0, "top": 0,
+          "disposal": 2, "delay": 7}
+    f4 = {"idx": np.full((1, 1), 2, np.uint8), "left": 3, "top": 3}
+    frames, delays = gif_decode(_make_gif((4, 4), [f1, f2, f3, f4], palette))
+    assert delays == [0, 5, 7, 0]
+    assert np.array_equal(frames[0][:, :, :3], pal_arr[np.full((4, 4), 1)])
+    exp2 = pal_arr[np.full((4, 4), 1)].copy()
+    exp2[1, 1] = exp2[2, 1] = exp2[2, 2] = palette[2]  # transparent (1,2) keeps red
+    assert np.array_equal(frames[1][:, :, :3], exp2)
+    exp3 = pal_arr[np.full((4, 4), 1)].copy()  # disposal=3 undid frame 2
+    exp3[0, 0] = palette[3]
+    assert np.array_equal(frames[2][:, :, :3], exp3)
+    assert frames[3][0, 0, 3] == 0  # disposal=2 cleared frame 3's rect
+    assert tuple(frames[3][3, 3, :3]) == palette[2]
+    assert np.array_equal(frames[3][1:3, 1:4, :3], pal_arr[np.full((2, 3), 1)])
+
+    # error contract: palette overrun (index 3 with a 2-color table),
+    # LZW overrun past declared geometry, truncation, bad magic
+    two_color = _make_gif((2, 2), [{"idx": np.array([[0, 1], [1, 3]], np.uint8)}],
+                          [(0, 0, 0), (255, 255, 255)], min_code_size=2)
+    with pytest.raises(ValueError, match="palette"):
+        gif_decode(two_color)
+    over = _make_gif((2, 2), [{"idx": np.zeros((3, 3), np.uint8)}], palette)
+    with pytest.raises(ValueError, match="outside logical screen"):
+        gif_decode(over)
+    good = _make_gif((4, 4), [f1], palette)
+    for bad in (b"", b"GIF90a" + good[6:], good[:25], good[:-6]):
+        with pytest.raises(ValueError):
+            gif_decode(bad)
+
+
+def test_gif_decoder_real_fixtures():
+    """gif_decode against real encoder output: CPython's python.gif
+    matches the cross-FORMAT python.png ground truth pixel-exactly on
+    opaque pixels (transparent RGB is encoder-undefined), idlelib's icon
+    exercises transparency, the anim8 fixture (8 frames block-trimmed
+    from a real screen-capture GIF) pins the composition behavior, and a
+    genuinely corrupt icon shipped by old CPython raises ValueError."""
+    import numpy as np
+    import pytest
+
+    from medacy_spark.functions.gif import gif_decode, gif_feature_decoder, gif_frame_rgb
+    from medacy_spark.functions.png import png_decode
+
+    frames, delays = gif_decode(open("tests/fixtures/python.gif", "rb").read())
+    assert frames.shape == (1, 16, 16, 4) and delays == [0]
+    png = png_decode(open("tests/fixtures/python.png", "rb").read())[:, :, :3]
+    opaque = frames[0][:, :, 3] == 255
+    assert int(opaque.sum()) == 149
+    diff = np.abs(frames[0][:, :, :3].astype(int) - png.astype(int))[opaque]
+    assert diff.max() <= 3  # palette quantization between unrelated encoders
+
+    icon, _ = gif_decode(open("tests/fixtures/idle_16.gif", "rb").read())
+    assert icon.shape == (1, 16, 16, 4)
+    assert (icon[0][:, :, 3] == 0).any()  # transparency decoded
+
+    anim, adelays = gif_decode(open("tests/fixtures/anim8.gif", "rb").read())
+    assert anim.shape == (8, 421, 640, 4) and adelays == [10] * 8
+    changed = [
+        int(np.any(anim[i] != anim[i - 1], axis=2).sum()) for i in range(1, 8)
+    ]
+    assert changed == [11, 293, 391, 0, 353, 0, 378]  # composition pin
+    feat = gif_feature_decoder(open("tests/fixtures/anim8.gif", "rb").read(), None)
+    assert len(feat) == 25 and feat[-2:] == [8.0, 80.0]
+    assert feat[:7] == pytest.approx(
+        [float(v) for v in
+         __import__("medacy_spark.functions.png", fromlist=["raster_features"])
+         .raster_features(gif_frame_rgb(anim[0]))[:7]]
+    )
+
+    with pytest.raises(ValueError):
+        gif_decode(open("tests/fixtures/corrupt-minusnode.gif", "rb").read())
+
+
+def test_gif_frame_sampling_stage(spark):
+    """decoder='gif' in the still stage (25-dim features) and the REAL
+    frame-sampling stage: one decode per payload, every_n-th composited
+    frame featurized, corrupt payloads yield a single ok=False row."""
+    import numpy as np
+    import pytest
+
+    from medacy_spark.functions.gif import gif_decode, gif_frame_rgb
+    from medacy_spark.functions.png import raster_features
+    from medacy_spark.operators.multimodal import (
+        extract_frame_features,
+        extract_media_features,
+    )
+
+    anim = open("tests/fixtures/anim8.gif", "rb").read()
+    still = open("tests/fixtures/python.gif", "rb").read()
+    rows = [
+        (1, "video", bytearray(anim), (640, 421, None, 8)),
+        (2, "image", bytearray(still), (16, 16, None, 1)),
+        (3, "video", bytearray(b"GIF89a but not really"), (0, 0, None, 0)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = {r["doc_id"]: r for r in extract_media_features(media, decoder="gif").collect()}
+    assert out[1]["ok"] and len(out[1]["feature"]) == 25
+    assert out[1]["feature"][-2:] == [8.0, 80.0]
+    assert out[2]["ok"] and out[2]["feature"][-2:] == [1.0, 0.0]
+    assert not out[3]["ok"]
+
+    sampled = extract_frame_features(media, every_n=3).collect()
+    by_doc = {}
+    for r in sampled:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["frame_no"] for r in sorted(by_doc[1], key=lambda r: r["frame_no"])] == [0, 3, 6]
+    frames, _ = gif_decode(anim)
+    for r in by_doc[1]:
+        assert r["ok"]
+        exp = raster_features(gif_frame_rgb(frames[r["frame_no"]]))
+        assert list(r["feature"]) == pytest.approx(exp, rel=1e-6, abs=1e-6)
+    assert [r["frame_no"] for r in by_doc[2]] == [0]
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["frame_no"] == -1 and not by_doc[3][0]["ok"]
