@@ -39,6 +39,7 @@ def learners():
     from medacy_spark.learners_nn import BiLSTMCRFLearner
     from medacy_spark.learners_tx import TransformerCRFLearner
     from medacy_spark.model import FrequencyLearner
+    from medacy_spark.sources.embeddings import load_word_vectors_local
 
     return {
         "frequency": FrequencyLearner(),
@@ -57,6 +58,17 @@ def learners():
         # fit cost 4x with no schema impact (labels stay 1:1)
         "transformer": TransformerCRFLearner(
             epochs=10, using_crf=True, max_len=256
+        ),
+        # the reference's ACTUAL BiLSTM configuration: pretrained frozen
+        # word embeddings (bilstm_crf_learner.py:39-42 hard-requires an
+        # embeddings file). tests/fixtures/pmc_word2vec.txt is the
+        # in-container stand-in — PPMI+SVD over the same corpus's
+        # unlabeled text (tools/make_embedding_fixture.py); r6 measured
+        # the no-embedding fit still early in-sample at 40 epochs, so
+        # this row isolates what the pretrained table buys
+        "bilstm_w2v": BiLSTMCRFLearner(
+            epochs=40,
+            word_vectors=load_word_vectors_local("tests/fixtures/pmc_word2vec.txt"),
         ),
     }
 
