@@ -508,8 +508,16 @@ def test_jpeg_decoder_real_fixtures_and_error_contract():
     assert round(float(photo.mean()), 3) == 60.179  # regression pin
     assert round(float(photo.std()), 3) == 29.615
 
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg_decode(open("tests/fixtures/progressive.jpg", "rb").read())
+    # progressive (SOF2) decodes for real since round 6: a 720x477
+    # production-encoder progressive photo with pinned stats (the
+    # scan-machinery ground truth lives in
+    # test_jpeg_progressive_equals_baseline_on_same_coefficients)
+    prog = jpeg_decode(open("tests/fixtures/progressive.jpg", "rb").read())
+    assert prog.shape == (477, 720, 3)
+    assert round(float(prog.mean()), 3) == 107.860
+    assert round(float(prog.std()), 3) == 59.683
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode(b"\xff\xd8\xff\xc9\x00\x04\x08\x00")
     with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8\xff\xdbgarbage")
     with pytest.raises(ValueError):
@@ -954,3 +962,343 @@ def test_gif_frame_sampling_stage(spark):
         assert list(r["feature"]) == pytest.approx(exp, rel=1e-6, abs=1e-6)
     assert [r["frame_no"] for r in by_doc[2]] == [0]
     assert len(by_doc[3]) == 1 and by_doc[3][0]["frame_no"] == -1 and not by_doc[3][0]["ok"]
+
+
+# --- test-side JPEG encoders (spec-derived, independent of the decoder) ---
+
+class _JBits:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.out)
+
+
+def _jhuff():
+    """One canonical table covering all 256 symbols: 255 at code length 9
+    plus symbol 0xFF at length 10 (DHT counts are single bytes; the
+    all-ones code of each length stays unused, as T.81 requires).
+    Returns (DHT payload after the class/id byte, {sym: (code, len)})."""
+    counts = [0] * 16
+    counts[8] = 255
+    counts[9] = 1
+    hm = {s: (s, 9) for s in range(255)}
+    hm[255] = (510, 10)  # canonical: (255 << 1) at the next length
+    return bytes(counts) + bytes(range(256)), hm
+
+
+def _jmag(v):
+    """JPEG magnitude category + value bits."""
+    v = int(v)
+    t = abs(v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+_JZZ = None  # filled lazily from the decoder module's zigzag order
+
+
+def _jzz():
+    global _JZZ
+    if _JZZ is None:
+        from medacy_spark.functions import jpeg as _j
+        _JZZ = list(_j._ZIGZAG)
+    return _JZZ
+
+
+def _enc_block_baseline(wr, hm, coef_nat, pred):
+    """Baseline entropy encoding of one block (natural-order coeffs)."""
+    zz = _jzz()
+    t, bits = _jmag(coef_nat[zz[0]] - pred)
+    wr.put(hm[t][0], hm[t][1])
+    wr.put(bits, t)
+    run = 0
+    for k in range(1, 64):
+        v = coef_nat[zz[k]]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            wr.put(hm[0xF0][0], hm[0xF0][1])
+            run -= 16
+        t, bits = _jmag(v)
+        wr.put(hm[(run << 4) | t][0], hm[(run << 4) | t][1])
+        wr.put(bits, t)
+        run = 0
+    if run:
+        wr.put(hm[0x00][0], hm[0x00][1])
+    return coef_nat[zz[0]]
+
+
+def _jpeg_assemble(sof_marker, w, h, comps, scans, dht, dqt_id=0):
+    """comps: [(id, hsamp, vsamp)]; scans: list of (sos_payload, entropy)."""
+    import struct as st
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + bytes([dqt_id]) + bytes([1] * 64)
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, dqt_id])
+    out += bytes([0xFF, sof_marker]) + st.pack(">H", 2 + len(sof)) + sof
+    for cls in (0, 1):
+        out += b"\xff\xc4" + st.pack(">H", 2 + 1 + len(dht)) + bytes([cls << 4]) + dht
+    for sos_payload, entropy in scans:
+        out += b"\xff\xda" + st.pack(">H", 2 + len(sos_payload)) + sos_payload + entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_baseline_jpeg(w, h, comps, store):
+    """store: {comp_id: ndarray (by, bx, 64) natural-order coeffs} laid
+    out on the MCU-padded grid; encodes the standard interleaved scan."""
+    dht, hm = _jhuff()
+    hmax = max(hs for _, hs, _ in comps)
+    vmax = max(vs for _, _, vs in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    wr = _JBits()
+    pred = {cid: 0 for cid, _, _ in comps}
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs in comps:
+            for by in range(vs):
+                for bx in range(hs):
+                    pred[cid] = _enc_block_baseline(
+                        wr, hm, store[cid][my * vs + by, mx * hs + bx], pred[cid]
+                    )
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    return _jpeg_assemble(0xC0, w, h, comps, [(sos, wr.flush())], dht)
+
+
+def _trunc(v, al):
+    """T.81 AC point transform: magnitude shift (truncate toward zero)."""
+    return v // (1 << al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_prog_dc(comps, store, al, refine):
+    wr = _JBits()
+    _, hm = _jhuff()
+    hmax = max(hs for _, hs, _ in comps)
+    vmax = max(vs for _, _, vs in comps)
+    mcux = max(store[cid].shape[1] // hs for cid, hs, _ in comps)
+    mcuy = max(store[cid].shape[0] // vs for cid, _, vs in comps)
+    pred = {cid: 0 for cid, _, _ in comps}
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs in comps:
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = int(store[cid][my * vs + by, mx * hs + bx][0])
+                    if refine:
+                        wr.put((dc >> al) & 1, 1)
+                    else:
+                        # DC point transform is an arithmetic shift (two's
+                        # complement), unlike AC's magnitude shift
+                        diff = (dc >> al) - pred[cid]
+                        pred[cid] = dc >> al
+                        t, bits = _jmag(diff)
+                        wr.put(hm[t][0], hm[t][1])
+                        wr.put(bits, t)
+    return wr.flush()
+
+
+def _enc_prog_ac_first(blocks, ss, se, al):
+    wr = _JBits()
+    _, hm = _jhuff()
+    zz = _jzz()
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            wr.put(hm[r << 4][0], hm[r << 4][1])
+            wr.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [_trunc(int(blk[zz[k]]), al) for k in range(64)]
+        nz = [k for k in range(ss, se + 1) if vals[k] != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        k = ss
+        for pos in nz:
+            run = pos - k
+            while run >= 16:
+                wr.put(hm[0xF0][0], hm[0xF0][1])
+                run -= 16
+            t, bits = _jmag(vals[pos])
+            wr.put(hm[(run << 4) | t][0], hm[(run << 4) | t][1])
+            wr.put(bits, t)
+            k = pos + 1
+        if k <= se:
+            eobrun += 1
+    flush()
+    return wr.flush()
+
+
+def _enc_prog_ac_refine(blocks, ss, se, al):
+    wr = _JBits()
+    _, hm = _jhuff()
+    zz = _jzz()
+    eobrun = 0
+    pend = []
+
+    def flush():
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            wr.put(hm[r << 4][0], hm[r << 4][1])
+            wr.put(eobrun - (1 << r), r)
+            for b in pend:
+                wr.put(b, 1)
+            eobrun = 0
+            pend = []
+
+    for blk in blocks:
+        tnow = [_trunc(int(blk[zz[k]]), al) for k in range(64)]
+        tprev = [_trunc(int(blk[zz[k]]), al + 1) for k in range(64)]
+        new = [k for k in range(ss, se + 1) if tprev[k] == 0 and tnow[k] != 0]
+        if not new:
+            eobrun += 1
+            pend += [abs(tnow[k]) & 1 for k in range(ss, se + 1) if tprev[k] != 0]
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        k = ss
+        for pos in new:
+            run = 0
+            corr = []
+            p = k
+            while p < pos:
+                if tprev[p] != 0:
+                    corr.append(abs(tnow[p]) & 1)
+                else:
+                    run += 1
+                    if run == 16:
+                        wr.put(hm[0xF0][0], hm[0xF0][1])
+                        for b in corr:
+                            wr.put(b, 1)
+                        corr = []
+                        run = 0
+                p += 1
+            wr.put(hm[(run << 4) | 1][0], hm[(run << 4) | 1][1])
+            wr.put(1 if tnow[pos] > 0 else 0, 1)
+            for b in corr:
+                wr.put(b, 1)
+            k = pos + 1
+        if k <= se:  # decoder only expects an EOB if its k-loop continues
+            eobrun += 1
+            pend += [abs(tnow[k2]) & 1 for k2 in range(k, se + 1) if tprev[k2] != 0]
+    flush()
+    return wr.flush()
+
+
+def _enc_progressive_jpeg(w, h, comps, store, al_levels=1):
+    """Encode the same coefficient store progressively: DC first+refine,
+    then per-component AC band scans (split band) first+refine."""
+    dht, _ = _jhuff()
+    scans = []
+
+    def sos(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid, 0x00])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    all_ids = [cid for cid, _, _ in comps]
+    scans.append((sos(all_ids, 0, 0, 0, al_levels),
+                  _enc_prog_dc(comps, store, al_levels, refine=False)))
+    for lvl in range(al_levels, 0, -1):
+        scans.append((sos(all_ids, 0, 0, lvl, lvl - 1),
+                      _enc_prog_dc(comps, store, lvl - 1, refine=True)))
+    bands = [(1, 5), (6, 63)]
+    for cid, _, _ in comps:
+        blocks = [store[cid][y, x] for y in range(store[cid].shape[0])
+                  for x in range(store[cid].shape[1])]
+        for ss, se in bands:
+            scans.append((sos([cid], ss, se, 0, al_levels),
+                          _enc_prog_ac_first(blocks, ss, se, al_levels)))
+    for cid, _, _ in comps:
+        blocks = [store[cid][y, x] for y in range(store[cid].shape[0])
+                  for x in range(store[cid].shape[1])]
+        for lvl in range(al_levels, 0, -1):
+            for ss, se in bands:
+                scans.append((sos([cid], ss, se, lvl, lvl - 1),
+                              _enc_prog_ac_refine(blocks, ss, se, lvl - 1)))
+    return _jpeg_assemble(0xC2, w, h, comps, scans, dht)
+
+
+def test_jpeg_progressive_equals_baseline_on_same_coefficients():
+    """Progressive decoding vs the cross-format-validated baseline path:
+    the SAME coefficient store encoded baseline and progressive (test-side
+    spec encoders, independent of the decoder) must decode to IDENTICAL
+    pixels — validating DC first/refine, AC band first/refine, EOB runs
+    (incl. multi-block), ZRL-with-correction-bits, interleaved DC MCU
+    order, and 4:2:0 subsampled grids."""
+    import numpy as np
+
+    from medacy_spark.functions.jpeg import jpeg_decode
+
+    rng = np.random.RandomState(3)
+
+    def random_store(by, bx):
+        arr = np.zeros((by, bx, 64), dtype=np.int64)
+        for y in range(by):
+            for x in range(bx):
+                kind = rng.randint(4)
+                if kind == 0:
+                    continue  # all-zero block: multi-block EOB runs
+                arr[y, x, 0] = rng.randint(-40, 41)
+                if kind == 1:  # sparse: long zero runs -> ZRL
+                    for pos in rng.choice(np.arange(1, 64), 3, replace=False):
+                        arr[y, x, pos] = rng.randint(-31, 32) or 1
+                elif kind == 2:  # dense low band
+                    arr[y, x, 1:8] = rng.randint(-15, 16, 7)
+                else:  # dense everywhere
+                    arr[y, x, 1:] = rng.randint(-7, 8, 63)
+        return arr
+
+    # grayscale, dims not multiples of 8 (padded edge blocks included)
+    w, h = 20, 13
+    store = {1: random_store(2, 3)}
+    base = jpeg_decode(_enc_baseline_jpeg(w, h, [(1, 1, 1)], store))
+    prog = jpeg_decode(_enc_progressive_jpeg(w, h, [(1, 1, 1)], store))
+    assert base.shape == prog.shape == (13, 20, 1)
+    assert np.array_equal(base, prog)
+
+    # two successive-approximation levels exercise repeated refinement
+    prog2 = jpeg_decode(_enc_progressive_jpeg(w, h, [(1, 1, 1)], store, al_levels=2))
+    assert np.array_equal(base, prog2)
+
+    # 4:2:0 color: interleaved DC scan + per-component subsampled AC grids
+    w, h = 32, 16
+    comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    store = {1: random_store(2, 4), 2: random_store(1, 2), 3: random_store(1, 2)}
+    base = jpeg_decode(_enc_baseline_jpeg(w, h, comps, store))
+    prog = jpeg_decode(_enc_progressive_jpeg(w, h, comps, store))
+    assert base.shape == prog.shape == (16, 32, 3)
+    assert np.array_equal(base, prog)
