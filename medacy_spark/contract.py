@@ -2981,6 +2981,59 @@ def q_ngram_language_id(spark, sf):
     ).orderBy("doc_id")
 
 
+# ---- word-embedding pretraining (operators/embeddings_train): the
+# corpus-scale half of count-based word2vec — ±window co-occurrence
+# counts and smoothed PPMI, replayed relationally in DuckDB (positions
+# are positions in the EMPTY-FILTERED token sequence on both engines;
+# the SQL pairs via a positional self-join, the Spark side via lead/lag
+# over one window spec — same pair multiset). The SVD half is
+# model-scale driver numpy, gated byte-identically against the PMC
+# fixture in test_embeddings_train instead.
+
+
+@q("cooccurrence_ppmi", r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w0,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+), f AS (
+  SELECT doc_id, lower(regexp_replace(w0, '^\s+|\s+$', '', 'g')) AS word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM raw WHERE lower(regexp_replace(w0, '^\s+|\s+$', '', 'g')) <> ''
+), pairs AS (
+  SELECT a.word AS word, b.word AS ctx
+  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.p <> b.p AND abs(a.p - b.p) <= 3
+), cooc AS (
+  SELECT word, ctx, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY word, ctx
+), wt AS (
+  SELECT word, CAST(sum(n) AS DOUBLE) AS w_n FROM cooc GROUP BY word
+), ct AS (
+  SELECT ctx, CAST(sum(n) AS DOUBLE) AS c_n FROM cooc GROUP BY ctx
+), z AS (
+  SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM cooc) AS total,
+         sum(pow(c_n, 0.75)) AS zz
+  FROM ct)
+SELECT c.word AS word, c.ctx AS ctx, c.n AS n,
+       round(greatest(0.0, ln((c.n / z.total) /
+             ((wt.w_n / z.total) * (pow(ct.c_n, 0.75) / z.zz)))), 6) AS ppmi
+FROM cooc c JOIN wt ON wt.word = c.word JOIN ct ON ct.ctx = c.ctx CROSS JOIN z
+ORDER BY c.word, c.ctx
+""")
+def q_cooccurrence_ppmi(spark, sf):
+    from medacy_spark.operators.embeddings_train import cooccurrence_pairs, ppmi
+
+    toks = _docs(spark, sf).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    cooc = cooccurrence_pairs(toks, window=3, id_cols=("doc_id",), order_col="pos")
+    return (
+        ppmi(cooc)
+        .select("word", "ctx", "n", F.round("ppmi", 6).alias("ppmi"))
+        .orderBy("word", "ctx")
+    )
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80) — so dict order decides which operators get a
@@ -2992,7 +3045,7 @@ def q_ngram_language_id(spark, sf):
 # re-confirmations.
 _PRIORITY = [
     # new in round 6 (no driver record yet)
-    "trained_pos_tags",
+    "trained_pos_tags", "cooccurrence_ppmi",
     # plan changed in round 6 after the last driver record (values pinned
     # unchanged by the md5-mode oracles)
     "minhash_lsh", "simhash_candidates",

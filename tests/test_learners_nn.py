@@ -254,3 +254,32 @@ def test_bilstm_model_end_to_end_quality(spark):
     n_gold = gold.count()
     assert exact == n_pred               # perfect precision
     assert exact / n_gold >= 0.9         # high recall (deterministic run)
+
+
+def test_pmc_embedding_fixture_integrity():
+    """The checked-in PPMI+SVD word2vec fixture
+    (tools/make_embedding_fixture.py — the reference's pretrained-word2vec
+    stand-in, built from the sample dataset's unlabeled text): parses
+    through the S6 loader, 50-dim unit vectors covering the PMC
+    vocabulary, and the BiLSTM consumes it as a frozen table."""
+    import numpy as np
+
+    from medacy_spark.sources.embeddings import load_word_vectors_local
+
+    vecs = load_word_vectors_local("tests/fixtures/pmc_word2vec.txt")
+    assert len(vecs) == 1095
+    dims = {len(v) for v in vecs.values()}
+    assert dims == {50}
+    norms = [float(np.linalg.norm(v)) for v in list(vecs.values())[:50]]
+    assert all(abs(n - 1.0) < 1e-3 or n == 0.0 for n in norms)
+    # clinical anchor words from the PMC docs are covered
+    for w in ("rats", "dose", "effects", "sodium", "mg"):
+        assert w in vecs, w
+
+    learner = BiLSTMCRFLearner(epochs=1, word_vectors=vecs)
+    learner.fit([
+        (["rats", "received", "a", "dose"], ["O", "O", "O", "Dose"]),
+        (["exposure", "to", "toxicity"], ["O", "O", "O"]),
+    ])
+    assert learner.embedding_dim == 50  # frozen table width adopted
+    assert learner._freeze_emb

@@ -215,3 +215,24 @@ def test_vocab_index_no_global_window(spark, doc_ids):
     # empty input keeps the schema
     empty = spark.createDataFrame([], "word string")
     assert vocab_index(empty, "word").count() == 0
+
+
+def test_ppmi_single_corpus_pass(spark):
+    """Embedding-pretraining scale gate: `ppmi` fans the count table out
+    to five consumers — without the internal localCheckpoint each one
+    would re-run the corpus-scale window+count (DAG-branch recompute).
+    The executed plan must aggregate the MATERIALIZED counts
+    (ExistingRDD), never re-plan the corpus scan/window, and keep the
+    marginal joins broadcast with no cartesian product."""
+    from medacy_spark.operators.embeddings_train import cooccurrence_pairs, ppmi
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    out = ppmi(cooccurrence_pairs(d, window=3, id_cols=("doc_id",), order_col="pos"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan          # marginals read the checkpoint
+    assert "FileScan" not in plan         # corpus never re-scanned
+    assert "Window" not in plan           # lead/lag pass never re-run
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan    # vocab-scale marginals broadcast
