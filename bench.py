@@ -40,6 +40,9 @@ HEADLINE = [
     "text_hygiene",            # corpus hygiene profile
     "doc_fingerprints",        # rolling-hash fingerprints
     "connected_components",    # iterative canonicalization
+    # added in round 6 (subtract from the total when comparing against
+    # r5-and-earlier BENCH JSONs / the committed session-start probe)
+    "cooccurrence_ppmi",       # embedding pretraining (window co-occurrence + PPMI)
 ]
 
 
