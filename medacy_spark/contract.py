@@ -2998,9 +2998,13 @@ WITH raw AS (
          unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
   FROM documents
 ), f AS (
-  SELECT doc_id, lower(regexp_replace(w0, '^\s+|\s+$', '', 'g')) AS word,
+  -- explicit ASCII-whitespace class = embeddings_train._WS (Java \s and
+  -- RE2 \s disagree on \x0B; the pinned class is identical on both)
+  SELECT doc_id,
+         lower(regexp_replace(w0, '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g')) AS word,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
-  FROM raw WHERE lower(regexp_replace(w0, '^\s+|\s+$', '', 'g')) <> ''
+  FROM raw
+  WHERE lower(regexp_replace(w0, '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g')) <> ''
 ), pairs AS (
   SELECT a.word AS word, b.word AS ctx
   FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.p <> b.p AND abs(a.p - b.p) <= 3

@@ -21,10 +21,11 @@ Scale shape:
     corpus-scale relation is the sparse count table itself.
   * `train_word_vectors` — collects the INTEGER count table (exact,
     engine-portable: no float accumulation order to disagree about),
-    then runs the numpy PPMI+SVD used to build
-    tests/fixtures/pmc_word2vec.txt (tools/make_embedding_fixture.py
-    imports `ppmi_svd` from here), so the distributed pipeline
-    reproduces the checked-in fixture byte-identically.
+    then runs the numpy PPMI+SVD (`ppmi_svd`) on the driver.
+    tools/make_embedding_fixture.py is a thin binding over
+    `train_word_vectors` + `write_word2vec`, so the distributed
+    pipeline reproduces tests/fixtures/pmc_word2vec.txt
+    byte-identically (gated in test_embeddings_train).
 """
 
 from __future__ import annotations
@@ -40,18 +41,30 @@ WINDOW = 5
 ALPHA = 0.75
 
 
+# the explicit ASCII-whitespace class, NOT \s: Java \s, RE2 (DuckDB) \s
+# and Python str.strip() each define whitespace differently (\x0B is in
+# Java's but not RE2's; str.strip() adds unicode spaces). Pinning the
+# class keeps the Spark operator, the cooccurrence_ppmi oracle SQL and
+# the fixture byte-pin on ONE definition; exotic unicode space stays in
+# tokens on every engine alike.
+_WS = " \\t\\n\\r\\f\\x0B"
+
+
 def _clean(word_col: str):
-    """lower + WHITESPACE trim (regex, not F.trim: the clinical
+    """lower + ASCII-whitespace trim (regex, not F.trim: the clinical
     tokenizer emits literal '\\n' tokens and F.trim only strips 0x20 —
-    Python str.strip(), the arithmetic the pmc_word2vec fixture pinned,
-    drops them)."""
-    return F.lower(F.regexp_replace(F.col(word_col), r"^\s+|\s+$", ""))
+    str.strip()-on-ASCII, the arithmetic the pmc_word2vec fixture
+    pinned, drops them)."""
+    return F.lower(
+        F.regexp_replace(F.col(word_col), f"^[{_WS}]+|[{_WS}]+$", "")
+    )
 
 
 def prune_rare_words(
     tokens: DataFrame,
     min_count: int = 5,
     word_col: str = "word",
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Drop tokens whose corpus frequency is below ``min_count`` (the
     standard word2vec min_count cut). On an open-vocabulary web corpus
@@ -62,8 +75,19 @@ def prune_rare_words(
     semantics match `cooccurrence_pairs`. Note the stream is pruned
     BEFORE windowing, so surviving words become adjacent across removed
     ones — word2vec's own min_count behavior, deliberately NOT the same
-    as filtering pairs after counting."""
+    as filtering pairs after counting.
+
+    The frequency cut derives from the same relation it filters — a
+    two-consumer branch, so by default the cleaned stream is
+    localCheckpointed (the single-pass invariant: an uncached lineage
+    would re-run the upstream tokenizer per branch, and a
+    nondeterministic upstream could even disagree between the counted
+    and the pruned pass). ``cut_lineage=False`` opts out for callers
+    with a cheap deterministic upstream who prefer recompute over
+    materializing the token stream."""
     cleaned = tokens.withColumn("_w", _clean(word_col)).filter(F.col("_w") != "")
+    if cut_lineage:
+        cleaned = cleaned.localCheckpoint(eager=True)
     keep = (
         cleaned.groupBy("_w")
         .agg(F.count("*").alias("_n"))
@@ -193,18 +217,22 @@ def train_word_vectors(
     The two collects are vocab-scale by construction: the distinct-word
     list and the SPARSE integer count table (bounded by vocab² but in
     practice by corpus support). Integers make the handoff exact — the
-    numpy stage then matches tools/make_embedding_fixture.py's
-    driver-side computation bit-for-bit (gated by
-    test_learners_nn.test_train_word_vectors_matches_fixture).
+    numpy stage reproduces tests/fixtures/pmc_word2vec.txt bit-for-bit
+    (gated by test_embeddings_train).
 
     Vocab comes from the TOKEN stream, not the count table: a word
     alone in its sentence co-occurs with nothing but still gets a
     vector row, like the dense path (zero in exact arithmetic; numerically
     arbitrary-but-deterministic in dimensions whose singular value is ~0).
+    The cleaned stream feeds TWO consumers (vocab + counts), so it is
+    localCheckpointed — the single-pass invariant; without it an
+    expensive upstream (the Arrow-UDF clinical tokenizer) runs twice and
+    a nondeterministic one could hand the count pass a word the vocab
+    pass never saw (KeyError below).
     """
     toks = tokens.select(
         *id_cols, order_col, _clean(word_col).alias("_w")
-    ).filter(F.col("_w") != "")
+    ).filter(F.col("_w") != "").localCheckpoint(eager=True)
     vocab = sorted(r["_w"] for r in toks.select("_w").distinct().collect())
     index = {w: i for i, w in enumerate(vocab)}
     counts = np.zeros((len(vocab), len(vocab)))
