@@ -70,3 +70,55 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     want = events.groupBy("user_id").agg(F.count("*").alias("total"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_incremental_cooccurrence_counts_match_batch(spark, tmp_path):
+    """Additive-state streaming: per-batch PARTIAL co-occurrence counts
+    appended (exactly-once), folded at read — must equal the
+    whole-corpus batch computation EXACTLY, across a late-arrival resume
+    on the same checkpoint, and a rerun with no new input must append
+    nothing."""
+    from medacy_spark.operators.embeddings_train import cooccurrence_pairs
+    from medacy_spark.streaming.incremental import (
+        merged_counts,
+        run_incremental_counts,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "counts")
+    ck = str(tmp_path / "ck")
+
+    def toks(df):
+        return df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+
+    def count_fn(batch):
+        return cooccurrence_pairs(
+            toks(batch), window=3, id_cols=("doc_id",), order_col="pos"
+        )
+
+    schema = "doc_id bigint, text string"
+    docs.filter("doc_id < 250").write.parquet(src)
+    q = run_incremental_counts(stream_documents(spark, src, schema), count_fn, out, ck)
+    q.awaitTermination(180)
+
+    # late arrival; SAME checkpoint -> only the new files are processed
+    docs.filter("doc_id >= 250").write.mode("append").parquet(src)
+    q2 = run_incremental_counts(stream_documents(spark, src, schema), count_fn, out, ck)
+    q2.awaitTermination(180)
+
+    got = merged_counts(spark, out, ("word", "ctx")).select("word", "ctx", "n")
+    want = count_fn(docs).select("word", "ctx", "n")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # idempotence: no new input, same checkpoint -> nothing appended
+    n_rows = spark.read.parquet(out).count()
+    q3 = run_incremental_counts(stream_documents(spark, src, schema), count_fn, out, ck)
+    q3.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n_rows
