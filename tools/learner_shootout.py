@@ -70,6 +70,13 @@ def learners():
             epochs=40,
             word_vectors=load_word_vectors_local("tests/fixtures/pmc_word2vec.txt"),
         ),
+        # same pretrained frozen table through the attention family —
+        # isolates whether the table's benefit transfers across encoder
+        # architectures at equal budgets
+        "transformer_w2v": TransformerCRFLearner(
+            epochs=10, using_crf=True, max_len=256,
+            word_vectors=load_word_vectors_local("tests/fixtures/pmc_word2vec.txt"),
+        ),
     }
 
 
