@@ -133,3 +133,85 @@ def test_prune_rare_words_min_count(spark):
     # schema preserved (original columns, any casing/padding intact)
     assert set(kept[0].asDict()) == {"doc_id", "sent_id", "tok_id", "word"}
     assert any(r["word"] == "Rat" for r in kept)  # original form kept
+
+
+def test_segmented_cooccurrence_bit_identical(spark):
+    """max_segment (mega-document skew hardening) must not change a
+    single count: segments carry ±window halos and only home rows emit,
+    so segmented == unsegmented == brute force — exercised across
+    segment boundaries (sequences much longer than max_segment), sparse
+    non-dense positions (filtered empties), and a window larger than
+    the leftover tail segment."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(17)]
+    sents = []
+    for d in range(4):
+        n = rng.choice([3, 29, 161])  # shorter than / spanning many segments
+        words = [rng.choice(vocab + ["", " ", "\n"]) for _ in range(n)]
+        sents.append((d, 0, words))
+
+    rows = [
+        (d, s, i * 3, w)  # non-dense positions: gaps survive cleaning
+        for d, s, words in sents
+        for i, w in enumerate(words)
+    ]
+    toks = spark.createDataFrame(
+        rows, "doc_id int, sent_id int, tok_id int, word string"
+    )
+
+    plain = {
+        (r["word"], r["ctx"]): r["n"]
+        for r in cooccurrence_pairs(toks, window=4).collect()
+    }
+    seg = {
+        (r["word"], r["ctx"]): r["n"]
+        for r in cooccurrence_pairs(toks, window=4, max_segment=16).collect()
+    }
+    assert seg == plain
+
+    # brute force over the cleaned sequences for independent ground truth
+    brute: dict[tuple[str, str], int] = {}
+    for _d, _s, words in sents:
+        ws = [w.strip().lower() for w in words]
+        ws = [w for w in ws if w]
+        for i, wi in enumerate(ws):
+            for j in range(max(0, i - 4), min(len(ws), i + 4 + 1)):
+                if j != i:
+                    brute[(wi, ws[j])] = brute.get((wi, ws[j]), 0) + 1
+    assert plain == brute
+
+    # guard: a segment shorter than the halo cannot be exact
+    with pytest.raises(ValueError):
+        cooccurrence_pairs(toks, window=4, max_segment=8)
+
+
+def test_segmented_dense_positions_fast_path(spark):
+    """dense_positions=True (rank == position, zero extra passes) must
+    equal both the general segmented path and the plain window on a
+    gapless corpus."""
+    rows = [
+        (d, 0, i, f"w{(i * 7 + d) % 11}")
+        for d in range(3)
+        for i in range(137)  # spans many 16-row segments
+    ]
+    toks = spark.createDataFrame(
+        rows, "doc_id int, sent_id int, tok_id int, word string"
+    )
+    plain = {
+        (r["word"], r["ctx"]): r["n"]
+        for r in cooccurrence_pairs(toks, window=4).collect()
+    }
+    dense = {
+        (r["word"], r["ctx"]): r["n"]
+        for r in cooccurrence_pairs(
+            toks, window=4, max_segment=16, dense_positions=True
+        ).collect()
+    }
+    general = {
+        (r["word"], r["ctx"]): r["n"]
+        for r in cooccurrence_pairs(toks, window=4, max_segment=16).collect()
+    }
+    assert dense == plain
+    assert general == plain
