@@ -129,12 +129,14 @@ def cooccurrence_pairs(
     row index per sequence AND that cleaning filters nothing (raw
     posexplode output with no empty/whitespace tokens). Then rank ==
     position and segmentation is pure row-local arithmetic — no rank
-    checkpoint/join/window. Measured on 50k docs + one planted 8M-token
-    doc (tools/cooc_skew_ab.py): dense path -25% wall vs unsegmented,
-    general rank path +43% (its corpus-wide machinery outweighs this
-    straggler) — in a split-from-text pipeline mega-doc hardening
-    should ride the dense path; reserve the general path for gappy
-    positions under heavier skew."""
+    checkpoint/join/window; a FALSE promise fails loudly (an in-window
+    contiguity assert), never silently mis-counts. Measured on 50k docs
+    + one planted 8M-token doc (tools/cooc_skew_ab.py, value-checksummed
+    across plans): dense path -47% wall vs unsegmented (-25% in an
+    earlier host state), general rank path +53% (its corpus-wide
+    machinery outweighs this straggler) — in a split-from-text pipeline
+    mega-doc hardening should ride the dense path; reserve the general
+    path for gappy positions under heavier skew."""
     toks = tokens.select(
         *id_cols, order_col, _clean(word_col).alias("_w")
     ).filter(F.col("_w") != "")
@@ -152,10 +154,31 @@ def cooccurrence_pairs(
     cols = [F.col("_w").alias("word"), F.array(*ctxs).alias("_ctx")]
     if max_segment is not None:
         cols.append(F.col("_home"))
+        if dense_positions:
+            # the dense promise made FALSE corrupts counts silently
+            # (home/halo boundaries drift off cleaned row adjacency), so
+            # verify it where it's free: ranks inside a segment must be
+            # contiguous — one extra lag on a window already being
+            # computed. assert_true returns NULL when the check passes.
+            prev = F.lag(F.col(order_col), 1).over(w)
+            cols.append(
+                F.assert_true(
+                    prev.isNull() | (prev == F.col(order_col) - 1),
+                    F.lit(
+                        "dense_positions=True but positions have gaps "
+                        "(cleaning filtered rows?) — co-occurrence counts "
+                        "would be silently wrong; use dense_positions=False"
+                    ),
+                ).alias("_dense_ok")
+            )
     neighbours = toks.select(*cols)
     if max_segment is not None:
         # halo rows exist only to complete neighbours' windows; their own
-        # pairs are emitted by their home segment
+        # pairs are emitted by their home segment. The _dense_ok filter is
+        # vacuously true — it exists to force the assert's evaluation
+        # (a merely-dropped column would be pruned before it ever ran)
+        if dense_positions:
+            neighbours = neighbours.filter(F.col("_dense_ok").isNull())
         neighbours = neighbours.filter(F.col("_home"))
     pairs = neighbours.select(
         "word", F.explode("_ctx").alias("ctx")

@@ -41,9 +41,9 @@ def _tokens(spark):
     return spark.createDataFrame(rows, "doc_id int, sent_id int, tok_id int, word string")
 
 
-def _brute_counts(window: int):
+def _brute_counts(window: int, sents=SENTS):
     counts: dict[tuple[str, str], int] = {}
-    for _d, _s, words in SENTS:
+    for _d, _s, words in sents:
         ws = [w.strip().lower() for w in words]
         ws = [w for w in ws if w]
         for i, wi in enumerate(ws):
@@ -172,15 +172,7 @@ def test_segmented_cooccurrence_bit_identical(spark):
     assert seg == plain
 
     # brute force over the cleaned sequences for independent ground truth
-    brute: dict[tuple[str, str], int] = {}
-    for _d, _s, words in sents:
-        ws = [w.strip().lower() for w in words]
-        ws = [w for w in ws if w]
-        for i, wi in enumerate(ws):
-            for j in range(max(0, i - 4), min(len(ws), i + 4 + 1)):
-                if j != i:
-                    brute[(wi, ws[j])] = brute.get((wi, ws[j]), 0) + 1
-    assert plain == brute
+    assert plain == _brute_counts(4, sents)
 
     # guard: a segment shorter than the halo cannot be exact
     with pytest.raises(ValueError):
@@ -215,3 +207,27 @@ def test_segmented_dense_positions_fast_path(spark):
     }
     assert dense == plain
     assert general == plain
+
+
+def test_segmented_dense_guard_catches_gaps(spark):
+    """A FALSE dense_positions promise must fail loudly, not corrupt
+    counts: cleaning filters the '\\n' token below, leaving a rank gap
+    that the in-window contiguity assert catches."""
+    rows = [(0, 0, i, w) for i, w in enumerate(
+        ["a", "b", "\n", "c", "d", "e", "f", "g", "h", "i", "j", "k"]
+    )]
+    toks = spark.createDataFrame(
+        rows, "doc_id int, sent_id int, tok_id int, word string"
+    )
+    with pytest.raises(Exception, match="dense_positions"):
+        cooccurrence_pairs(
+            toks, window=2, max_segment=5, dense_positions=True
+        ).collect()
+    # the honest general path handles the same input exactly
+    got = {
+        (r["word"], r["ctx"]): r["n"]
+        for r in cooccurrence_pairs(toks, window=2, max_segment=5).collect()
+    }
+    assert got == _brute_counts(
+        2, [(0, 0, ["a", "b", "\n", "c", "d", "e", "f", "g", "h", "i", "j", "k"])]
+    )

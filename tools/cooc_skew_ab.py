@@ -63,10 +63,23 @@ def main() -> None:
         )
 
     def job(max_segment, dense):
-        return cooccurrence_pairs(
-            toks(), window=5, id_cols=("doc_id",), order_col="pos",
-            max_segment=max_segment, dense_positions=dense,
-        ).count()
+        # value checksum over (word, ctx, n), not a row count: a bug
+        # that perturbs counts without changing the key set must flip
+        # `match` to false
+        row = (
+            cooccurrence_pairs(
+                toks(), window=5, id_cols=("doc_id",), order_col="pos",
+                max_segment=max_segment, dense_positions=dense,
+            )
+            .agg(
+                F.count("*").alias("rows"),
+                # XOR fold: order-independent and cannot overflow (a
+                # sum of 4M xxhash64 longs trips ANSI ARITHMETIC_OVERFLOW)
+                F.expr("bit_xor(xxhash64(word, ctx, n))").alias("chk"),
+            )
+            .first()
+        )
+        return row["rows"], int(row["chk"])
 
     out = {"cores": cores, "n_docs": n_docs, "mega_tokens": mega}
     plans = (
@@ -75,14 +88,21 @@ def main() -> None:
         ("segmented_dense", 100_000, True),  # posexplode positions ARE dense
     )
     for name, seg, dense in plans:
-        n_pairs = job(seg, dense)  # warm-up + row-count capture
+        n_pairs, chk = job(seg, dense)  # warm-up + checksum capture
         walls = []
         for _ in range(trials):
             t0 = time.monotonic()
             job(seg, dense)
             walls.append(round(time.monotonic() - t0, 2))
-        out[name] = {"n_pairs": n_pairs, "walls_s": walls, "best_s": min(walls)}
+        out[name] = {
+            "n_pairs": n_pairs, "chk": chk,
+            "walls_s": walls, "best_s": min(walls),
+        }
     out["match"] = (
+        out["unsegmented"]["chk"]
+        == out["segmented_general"]["chk"]
+        == out["segmented_dense"]["chk"]
+    ) and (
         out["unsegmented"]["n_pairs"]
         == out["segmented_general"]["n_pairs"]
         == out["segmented_dense"]["n_pairs"]
