@@ -3040,29 +3040,29 @@ def q_cooccurrence_ppmi(spark, sf):
 
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
-# first 50 of 80) — so dict order decides which operators get a
-# driver-record row this round. Round-6 priority: the 30 queries whose
-# newest driver record is CORRECTNESS_r04 (everything else is r5-green),
-# per VERDICT r5 #2, led by any queries new or behavior-touched this
-# round (the sketch guard's detection pass was folded into the band
-# shuffle — values unchanged, plan changed). The r5-green rows follow as
-# re-confirmations.
+# first 50 of 80, r6 the first 50 of 82) — so dict order decides which
+# operators get a driver-record row this round. Round-7 priority, per
+# VERDICT r6 #1: any queries NEW this round first, then the 32 queries
+# whose newest driver record is r4/r5 (everything else re-confirmed
+# green in CORRECTNESS_r06).
 _PRIORITY = [
-    # new in round 6 (no driver record yet)
-    "trained_pos_tags", "cooccurrence_ppmi",
-    # plan changed in round 6 after the last driver record (values pinned
-    # unchanged by the md5-mode oracles)
-    "minhash_lsh", "simhash_candidates",
-    # round-4-only driver records, original contract order
-    "ast_parse", "compound_unit_pairs", "duration_frequency_route_spans",
-    "feature_projection", "fold_split", "gazetteer_phrase_match",
-    "kg_edges", "kg_nodes", "label_subset", "link_mentions_tiebreak",
-    "mention_slice", "model_mention_counts", "multi_model_merge",
-    "nation_rollup", "ngram_language_id", "one_hot_tags", "oov_tokens",
-    "overlay_broken_guard", "pos_drop", "pos_features", "quality_profile",
-    "r_lines", "rel_parse", "resegment_ids", "spacy_token_features",
-    "switch_extension", "table_rows", "token_counts", "unit_token_flags",
-    "zip_datasets",
+    # new in round 7 (no driver record yet)
+    "incremental_dedup", "measures_macro",
+    # newest driver record is r4/r5 — rotate in for fresh rows
+    "ade_lines", "clinical_mention_counts", "clinical_rule_tokens",
+    "clinical_triples", "con_roundtrip", "connected_components",
+    "containment_pairs", "cross_fold_measures", "cui_overlay",
+    "data_limit", "doc_fingerprints", "embedding_near_dups",
+    "embedding_topk", "embedding_topk_ivf", "embedding_topk_lsh",
+    "events_running_sum", "exact_dup_groups", "feature_tuples",
+    "fold_assignment", "gazetteer_match", "gold_overlay",
+    "line_word_index", "metamap_candidates", "ngram_jaccard",
+    "offset_restore", "pricing_summary", "sem_type_discovery",
+    "semtype_filter", "text_extractor", "text_hygiene", "top_orders",
+    "vocab_index",
+    # behavior-adjacent this round (term_canon plan change — values
+    # pinned unchanged by the oracles): re-confirm early
+    "kg_nodes", "kg_edges",
 ]
 
 

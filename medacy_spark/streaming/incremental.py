@@ -28,6 +28,21 @@ def stream_documents(
     return spark.readStream.schema(schema).parquet(input_path)
 
 
+def _write_batch(out: DataFrame, output_path: str, batch_id: int) -> None:
+    """Idempotent micro-batch sink: each batch owns the hive-style
+    directory ``{output_path}/batch={batch_id}`` and OVERWRITES it.
+
+    foreachBatch is at-least-once — a failure between the parquet write
+    and the streaming-checkpoint commit replays the batch on restart. A
+    blind ``mode('append')`` to a shared directory would double-write the
+    replayed batch; keying the write on batch_id makes the replay rewrite
+    the same directory instead (and a partially-written first attempt is
+    replaced wholesale), so the observable log is exactly-once. Readers
+    see ``batch`` as a discovered partition column, which the fold/select
+    paths ignore."""
+    out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+
+
 def run_incremental(
     stream_df: DataFrame,
     stage_fn: Callable[[DataFrame], DataFrame],
@@ -37,13 +52,13 @@ def run_incremental(
     """Apply the batch stage function per micro-batch and append results.
 
     foreachBatch gives batch semantics inside the stream: stage_fn may use
-    windows/joins/aggregations exactly as in batch mode. Exactly-once via
-    the checkpointLocation + idempotent parquet append of the sink.
+    windows/joins/aggregations exactly as in batch mode. Exactly-once at
+    the sink via the batch_id-keyed idempotent write (`_write_batch`) on
+    top of the checkpointLocation's replay tracking.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = stage_fn(batch_df)
-        out.write.mode("append").parquet(output_path)
+        _write_batch(stage_fn(batch_df), output_path, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(process)
@@ -68,11 +83,13 @@ def run_incremental_counts(
     for row-per-document corpora. This is the streaming shape for
     corpus-scale statistics that are sums in disguise: co-occurrence
     counts (embeddings_train), token/vocab frequencies, n-gram tables.
-    Exactly-once per micro-batch via checkpointLocation; a rerun with no
-    new input appends nothing (gated in test_streaming_windowed)."""
+    Exactly-once per micro-batch: checkpointLocation tracks progress and
+    the batch_id-keyed overwrite (`_write_batch`) makes a replayed batch
+    rewrite rather than double-count; a rerun with no new input appends
+    nothing (both gated in test_streaming_windowed)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        count_fn(batch_df).write.mode("append").parquet(output_path)
+        _write_batch(count_fn(batch_df), output_path, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(process)

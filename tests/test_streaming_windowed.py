@@ -122,3 +122,24 @@ def test_incremental_cooccurrence_counts_match_batch(spark, tmp_path):
     q3 = run_incremental_counts(stream_documents(spark, src, schema), count_fn, out, ck)
     q3.awaitTermination(180)
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_write_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the sink write and
+    the checkpoint commit replays the batch with the SAME batch_id. The
+    batch_id-keyed overwrite must make that replay a rewrite, never a
+    double-count — including replacing a partial first attempt."""
+    from medacy_spark.streaming.incremental import _write_batch, merged_counts
+
+    out = str(tmp_path / "log")
+    _write_batch(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long"), out, 0
+    )
+    # first attempt of batch 1 "failed" after a partial write
+    _write_batch(spark.createDataFrame([("c", 99)], "k string, n long"), out, 1)
+    # the replay rewrites batch 1 wholesale
+    _write_batch(
+        spark.createDataFrame([("c", 5), ("d", 7)], "k string, n long"), out, 1
+    )
+    got = {r["k"]: r["n"] for r in merged_counts(spark, out, ("k",)).collect()}
+    assert got == {"a": 1, "b": 2, "c": 5, "d": 7}
