@@ -293,7 +293,11 @@ def pos_sentences() -> tuple[list, list]:
     def sent(k):
         a, n1 = adjs[k % 6], nouns[(k // 6) % 6]
         v, n2 = verbs[(k // 36) % 6], nouns[(k // 2) % 6]
-        d = advs[k % 3]
+        # (k // 3) decouples the adverb slot from the template selector
+        # t = k % 3 below: with d = advs[k % 3], only template t==1 emits
+        # the adverb and d aliased to advs[1] — 'daily' and 'often' never
+        # appeared anywhere, collapsing ADV to one word type (r6 advice)
+        d = advs[(k // 3) % 3]
         t = k % 3
         if t == 0:
             return ["the", a, n1, "was", v], ["DET", "ADJ", "NOUN", "AUX", "VERB"]

@@ -58,6 +58,20 @@ _M = np.array([
     for u in range(8)
 ])
 
+# Shared codec-family decode cap (gif.py uses the same raw-pixel bound;
+# png.py bounds the inflate stream). SOF height/width are u16 and sampling
+# factors reach 4, so a crafted ~20-byte header can otherwise demand
+# tens-of-GB coefficient stores / sample planes before any entropy data is
+# read — calloc succeeds and the executor is OOM-killed when the scan
+# touches pages, outside the per-row ValueError containment.
+_MAX_PIXELS = 64_000_000
+# The MCU-padded per-component block grids (and the progressive int64
+# coefficient stores, same element count) are what actually get allocated:
+# subsampling inflates them up to (hmax*vmax)x the raw geometry. 4x the
+# raw cap admits every real sampling layout (4:4:4 totals 3x raw) while
+# rejecting crafted 16x blow-ups at max geometry.
+_MAX_PADDED_PIXELS = 4 * _MAX_PIXELS
+
 _UNSUPPORTED_SOF = {
     0xC3: "lossless JPEG not supported",
     0xC5: "differential JPEG not supported",
@@ -207,15 +221,25 @@ def _decode(data: bytes) -> np.ndarray:
                 })
                 if not (1 <= samp >> 4 <= 4 and 1 <= samp & 15 <= 4):
                     raise ValueError("bad sampling factors")
+            if h < 1 or w < 1 or h * w > _MAX_PIXELS:
+                raise ValueError(f"JPEG geometry {w}x{h} exceeds decode cap")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            padded = sum(
+                (mcuy * c["v"] * 8) * (mcux * c["h"] * 8) for c in comps
+            )
+            if padded > _MAX_PADDED_PIXELS:
+                raise ValueError(
+                    f"JPEG sampling layout demands {padded} padded pixels,"
+                    " exceeds decode cap"
+                )
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
             if marker == 0xC2:
                 # progressive: coefficients accumulate across scans in
                 # the MCU-padded block grid of each component
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcux = -(-w // (8 * hmax))
-                mcuy = -(-h // (8 * vmax))
                 frame["mcux"], frame["mcuy"] = mcux, mcuy
                 prog_coefs = [
                     np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)

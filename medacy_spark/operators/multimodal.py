@@ -182,21 +182,30 @@ def extract_frame_features(
         for pdf in batches:
             ids, frame_nos, feats, oks = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # buffer the doc's rows and commit only after the whole
+                # frame loop succeeds: a mid-loop failure must yield
+                # exactly one ok=False row, never a partial ok=True frame
+                # set alongside the corrupt marker
+                doc_rows: list[tuple[int, list[float]]] = []
                 try:
                     frames, _delays = gif_decode(bytes(payload))
                     sampled = range(0, frames.shape[0], every_n)
                     for frame_no in list(sampled)[:max_frames]:
-                        ids.append(doc_id)
-                        frame_nos.append(frame_no)
-                        feats.append(
-                            [float(v) for v in raster_features(gif_frame_rgb(frames[frame_no]))]
-                        )
-                        oks.append(True)
+                        doc_rows.append((
+                            frame_no,
+                            [float(v) for v in raster_features(gif_frame_rgb(frames[frame_no]))],
+                        ))
                 except Exception:
                     ids.append(doc_id)
                     frame_nos.append(-1)
                     feats.append(None)
                     oks.append(False)
+                    continue
+                for frame_no, feat in doc_rows:
+                    ids.append(doc_id)
+                    frame_nos.append(frame_no)
+                    feats.append(feat)
+                    oks.append(True)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": frame_nos, "feature": feats, "ok": oks}
             )

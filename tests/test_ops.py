@@ -527,6 +527,21 @@ def test_jpeg_decoder_real_fixtures_and_error_contract():
     with pytest.raises(ValueError):
         jpeg_decode(whole[: len(whole) - 40])
 
+    # geometry bomb: a ~20-byte header claiming 65500x65500 (u16 max-ish,
+    # ~4.3e9 pixels) must be rejected AT THE SOF — before any coefficient
+    # store / sample plane is allocated — for baseline and progressive
+    # alike (shared codec-family cap, same bound as gif.py)
+    import struct
+
+    for sof in (0xC0, 0xC2):
+        bomb = (
+            b"\xff\xd8" + bytes([0xFF, sof]) + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 65500, 65500)
+            + bytes([1, 1, 0x11, 0])
+        )
+        with pytest.raises(ValueError, match="decode cap"):
+            jpeg_decode(bomb)
+
 
 def test_jpeg_decoder_in_media_stage(spark):
     """decoder='jpeg' drives the same Arrow mapInPandas stage as 'png':
