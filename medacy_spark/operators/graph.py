@@ -127,6 +127,7 @@ def materialize_nodes_edges(
     links: DataFrame,
     triples: DataFrame,
     id_col: str = "doc_id",
+    broadcast_max_terms: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the KG: nodes(canonical_id, label, names) and
     edges(src, pred, dst, weight) — the north-star node/edge tables.
@@ -134,11 +135,28 @@ def materialize_nodes_edges(
     Canonical id = component representative from connected_components over
     same_as edges; mentions without a CUI canonicalize to their surface
     form. Edge weight = support count (number of extracted triples).
+
+    ``term_canon`` (surface form -> component) is CORPUS-DERIVED: one row
+    per distinct lowercased mention surface form. Unlike the gazetteer /
+    CUI dictionaries it is NOT bounded — distinct surface forms grow with
+    the corpus (typos, numerics, boilerplate variants), and a forced
+    broadcast that outgrows executor memory kills the job. So the
+    broadcast hint is applied only below ``broadcast_max_terms`` (counted
+    against the already-checkpointed component labels — a cheap scan);
+    above it the canonicalization joins stay shuffle equi-joins on
+    ``_norm``, which is the natural co-partitioned key for both sides.
+    2M rows ≈ low-hundreds of MB broadcast — comfortably inside a
+    production executor; the threshold is a parameter, not a constant,
+    for clusters that differ.
     """
     comp = connected_components(same_as_edges(links, id_col))
     term_canon = comp.filter(F.col("node").startswith("t:")).select(
         F.expr("substring(node, 3)").alias("_norm"), F.col("component").alias("canon")
     )
+    # comp is localCheckpointed by connected_components -> counting the
+    # filtered projection is a checkpoint scan, not a recompute
+    small_enough = term_canon.count() <= broadcast_max_terms
+    canon_rel = F.broadcast(term_canon) if small_enough else term_canon
 
     def canon_of(text_col):
         return F.coalesce(F.col("canon"), F.concat(F.lit("t:"), F.lower(text_col)))
@@ -151,11 +169,11 @@ def materialize_nodes_edges(
         F.col("obj.text").alias("o_text"),
     )
     s = (
-        s.join(F.broadcast(term_canon), "_norm", "left")
+        s.join(canon_rel, "_norm", "left")
         .withColumn("src_id", canon_of(F.col("s_text")))
         .drop("canon", "_norm")
         .withColumnRenamed("_obj_norm", "_norm")
-        .join(F.broadcast(term_canon), "_norm", "left")
+        .join(canon_rel, "_norm", "left")
         .withColumn("dst_id", canon_of(F.col("o_text")))
         .drop("canon", "_norm")
     )

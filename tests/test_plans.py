@@ -217,6 +217,48 @@ def test_vocab_index_no_global_window(spark, doc_ids):
     assert vocab_index(empty, "word").count() == 0
 
 
+def test_term_canon_broadcast_is_bounded(spark):
+    """materialize_nodes_edges joins triples to term_canon — a CORPUS-
+    derived relation (one row per distinct lowercased surface form),
+    vocab-like at sandbox scale but unbounded at web scale. Below the
+    threshold the hint must force the broadcast even with auto-broadcast
+    off; ABOVE it the plan must contain no forced BroadcastExchange of
+    the corpus-derived relation (shuffle equi-join on _norm instead) —
+    a forced broadcast that outgrows executor memory is the one
+    100x-scale killer plan shape here. Values identical either way."""
+    from medacy_spark.operators.graph import materialize_nodes_edges
+
+    links = spark.createDataFrame(
+        [(1, "Aspirin", "C001"), (1, "ASA", "C001"), (2, "ibuprofen", "C002")],
+        "doc_id long, text string, cui string",
+    )
+    triples = spark.createDataFrame(
+        [(1, "has_dosage", ("Aspirin",), ("5 mg",)),
+         (2, "has_dosage", ("ASA",), ("5 mg",)),
+         (3, "has_route", ("ibuprofen",), ("oral",))],
+        "doc_id long, pred string, subj struct<text:string>, "
+        "obj struct<text:string>",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nodes_b, edges_b = materialize_nodes_edges(links, triples)
+        assert "BroadcastHashJoin" in _plan(edges_b)  # hint holds below cap
+        nodes_s, edges_s = materialize_nodes_edges(
+            links, triples, broadcast_max_terms=0
+        )
+        plan_s = _plan(edges_s) + _plan(nodes_s)
+        assert "BroadcastHashJoin" not in plan_s
+        assert "BroadcastExchange" not in plan_s
+
+        def same(a, b):
+            return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+        assert same(edges_b, edges_s) and same(nodes_b, nodes_s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_ppmi_single_corpus_pass(spark):
     """Embedding-pretraining scale gate: `ppmi` fans the count table out
     to five consumers — without the internal localCheckpoint each one
