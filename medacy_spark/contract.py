@@ -341,7 +341,7 @@ def q_confusion_cells(spark, sf):
 # ---- J10/A3/A4: measures + P/R/F1, strict & lenient, with micro rollup
 
 
-_MEASURES_TAIL = """
+_MEASURES_CTES = """
 , gtot AS (SELECT tag, CAST(count(*) AS BIGINT) AS g FROM gold GROUP BY tag),
 stot AS (SELECT tag, CAST(count(*) AS BIGINT) AS s FROM pred GROUP BY tag),
 tptag AS (SELECT tag, CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(consumed) AS BIGINT) AS consumed
@@ -357,6 +357,9 @@ all_rows AS (
   SELECT tag, tp, fp, fn FROM per_tag
   UNION ALL
   SELECT 'system', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT) FROM per_tag)
+"""
+
+_MEASURES_TAIL = _MEASURES_CTES + """
 SELECT tag, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
        CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
        CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
@@ -395,6 +398,55 @@ def q_measures_strict(spark, sf):
 def q_measures_lenient(spark, sf):
     from medacy_spark.operators.scoring import measures, with_prf
     return with_prf(measures(gold_df(spark, sf), pred_df(spark, sf), mode="lenient"))
+
+
+# ---- A4 closure: full derivations (specificity/auc/accuracy, tn ≡ 0 as in
+# the reference's actual scoring path) + the 'system (macro)' row
+# (inter_dataset_agreement.py:87-106,232-237). Floats rounded to 9 decimals
+# on BOTH engines: the macro row averages doubles, and summation order may
+# differ between engines at the last ulp.
+
+
+@q("measures_macro", BASE_CTES + """
+, gc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM gold GROUP BY ALL),
+sc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM pred GROUP BY ALL),
+key_tp AS (
+  SELECT gc.tag, least(gc.c, sc.c) AS tp, sc.c AS consumed
+  FROM gc JOIN sc ON gc.doc_id = sc.doc_id AND gc.tag = sc.tag
+   AND gc.start = sc.start AND gc."end" = sc."end")
+""" + _MEASURES_CTES + """
+, prf AS (
+  SELECT tag,
+    CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END AS p,
+    CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END AS r,
+    CASE WHEN tp+fp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp+fn) END AS acc
+  FROM all_rows),
+derived AS (
+  SELECT tag, p, r,
+    CASE WHEN p+r = 0 THEN 0.0 ELSE 2.0*p*r/(p+r) END AS f1,
+    0.0 AS spec, (r + 0.0)/2.0 AS auc, acc
+  FROM prf),
+labeled AS (
+  SELECT tag, p, r, f1, spec, auc, acc FROM derived
+  UNION ALL
+  SELECT 'system (macro)', avg(p), avg(r), avg(f1), avg(spec), avg(auc), avg(acc)
+  FROM derived WHERE tag <> 'system')
+SELECT tag, round(p, 9) AS precision, round(r, 9) AS recall,
+       round(f1, 9) AS f1, round(spec, 9) AS specificity,
+       round(auc, 9) AS auc, round(acc, 9) AS accuracy
+FROM labeled ORDER BY tag
+""")
+def q_measures_macro(spark, sf):
+    from medacy_spark.operators.scoring import measures, with_full_prf, with_macro
+    full = with_macro(with_full_prf(
+        measures(gold_df(spark, sf), pred_df(spark, sf), mode="strict")
+    ))
+    return full.select(
+        "tag",
+        *[F.round(c, 9).alias(c)
+          for c in ("precision", "recall", "f1",
+                    "specificity", "auc", "accuracy")],
+    ).orderBy("tag")
 
 
 # ---- A7: lexical variation over pred

@@ -207,3 +207,48 @@ def with_prf(measures_df: DataFrame) -> DataFrame:
         "*",
         p.alias("precision"), r.alias("recall"), f1.alias("f1"),
     ).orderBy("tag")
+
+
+def with_full_prf(measures_df: DataFrame) -> DataFrame:
+    """A4 closure: every derivation the reference ``Measures`` class
+    defines (inter_dataset_agreement.py:87-106) — specificity, AUC (mean
+    of sensitivity and specificity) and accuracy — on top of P/R/F1.
+
+    The reference's own scoring path never increments ``tn`` (tn ≡ 0),
+    so its specificity is 0/(fp+0) → 0.0 for fp>0 and the
+    ZeroDivisionError branch → 0.0 for fp==0: identically 0.0. Hence
+    auc = recall/2 and accuracy = tp/(tp+fp+fn) (0.0 on empty) — the
+    arithmetic here replays those tn≡0 semantics rather than invent a
+    tn the reference never computes."""
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    spec = F.lit(0.0)  # tn ≡ 0 in the reference scoring path
+    return with_prf(measures_df).select(
+        "*",
+        spec.alias("specificity"),
+        ((F.col("recall") + spec) / F.lit(2.0)).alias("auc"),
+        _safe_div(tp, tp + fp + fn).alias("accuracy"),
+    )
+
+
+def with_macro(prf_df: DataFrame) -> DataFrame:
+    """Append the 'system (macro)' row
+    (inter_dataset_agreement.py:232-237): the unweighted mean of the
+    per-tag metrics, with the 'system' MICRO row excluded — the
+    reference averages over measures_dict, which has no micro entry.
+    The reference macro row carries P/R/F1 only; the mean extends to
+    the other derived columns for a uniform schema. Counts don't
+    average: tp/fp/fn are null on the macro row."""
+    metric_cols = [
+        c for c in prf_df.columns if c not in ("tag", "tp", "fp", "fn")
+    ]
+    count_cols = [c for c in ("tp", "fp", "fn") if c in prf_df.columns]
+    macro = (
+        prf_df.filter(F.col("tag") != "system")
+        .agg(*[F.avg(c).alias(c) for c in metric_cols])
+        .select(
+            F.lit("system (macro)").alias("tag"),
+            *[F.lit(None).cast("long").alias(c) for c in count_cols],
+            *metric_cols,
+        )
+    )
+    return prf_df.unionByName(macro).orderBy("tag")

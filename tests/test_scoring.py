@@ -59,6 +59,51 @@ def test_golden_measures(spark, mode, expected):
     assert got == expected
 
 
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference fixtures unavailable")
+def test_golden_full_report_and_macro(spark):
+    """A4 closure, golden-pinned: specificity/AUC/accuracy replay the
+    reference Measures derivations (inter_dataset_agreement.py:87-106)
+    with its actual tn ≡ 0 (tn is never incremented), and the
+    'system (macro)' row is the unweighted per-tag mean with the micro
+    row excluded (inter_dataset_agreement.py:232-237)."""
+    from statistics import mean
+
+    from medacy_spark.operators.scoring import with_full_prf, with_macro
+
+    gold = _load_ref(spark, "sample_dataset_1")
+    pred = _load_ref(spark, "sample_dataset_1_predictions")
+    got = {
+        r["tag"]: r
+        for r in with_macro(
+            with_full_prf(measures(gold, pred, mode="strict"))
+        ).collect()
+    }
+    assert len(got) == len(STRICT_EXPECTED) + 1  # + 'system (macro)'
+
+    def derive(tp, fp, fn):
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        acc = tp / (tp + fp + fn) if tp + fp + fn else 0.0
+        return p, r, f, acc
+
+    for tag, counts in STRICT_EXPECTED.items():
+        p, r, f, acc = derive(*counts)
+        row = got[tag]
+        assert row["specificity"] == 0.0          # tn ≡ 0
+        assert abs(row["auc"] - r / 2) < 1e-12    # (sensitivity + 0)/2
+        assert abs(row["accuracy"] - acc) < 1e-12
+        assert abs(row["f1"] - f) < 1e-12
+
+    per = [derive(*v) for k, v in STRICT_EXPECTED.items() if k != "system"]
+    m = got["system (macro)"]
+    assert (m["tp"], m["fp"], m["fn"]) == (None, None, None)
+    assert abs(m["precision"] - mean(x[0] for x in per)) < 1e-12
+    assert abs(m["recall"] - mean(x[1] for x in per)) < 1e-12
+    assert abs(m["f1"] - mean(x[2] for x in per)) < 1e-12
+    assert abs(m["accuracy"] - mean(x[3] for x in per)) < 1e-12
+
+
 def _m(spark, rows):
     return spark.createDataFrame(
         rows, "doc_id long, tag string, start long, end long, text string"
