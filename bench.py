@@ -187,6 +187,37 @@ def main() -> None:
         dedup_rate = max(dedup_rate, round(n_dedup / (time.monotonic() - t0), 1))
         assert survivors <= n_dedup - n_dedup // 200 + 1  # planted dups removed
 
+    # incremental-ingest throughput: dedup a 10k batch against a 100k-doc
+    # PERSISTED band-bucket state (the per-batch work of
+    # streaming/incremental.run_incremental_dedup, minus the streaming
+    # harness) — the number a continuously-growing corpus pays per batch,
+    # instead of re-running dedup_corpus over corpus+batch every time
+    import shutil
+    import tempfile
+
+    from medacy_spark.operators.dedup import band_table, dedup_batch_against_state
+
+    state_dir = tempfile.mkdtemp(prefix="dedup_state_")
+    n_batch = 10_000
+    try:
+        band_table(web_docs(n_dedup)).write.mode("overwrite").parquet(state_dir)
+
+        def ingest() -> None:
+            state = spark.read.parquet(state_dir)
+            batch = web_docs(n_dedup + n_batch).filter(F.col("doc_id") >= n_dedup)
+            survivors, new_state = dedup_batch_against_state(batch, state)
+            survivors.count()
+            new_state.count()
+
+        ingest()  # warm-up
+        inc_rate = 0.0
+        for _pass in range(2):
+            t0 = time.monotonic()
+            ingest()
+            inc_rate = max(inc_rate, round(n_batch / (time.monotonic() - t0), 1))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
     spark.stop()
     try:
         calibration = _calibrate(cpus)
@@ -202,6 +233,7 @@ def main() -> None:
         "kg_pipeline_docs_per_sec": docs_per_sec,
         "kg_docs_per_sec_sustained_200k": sustained,
         "dedup_docs_per_sec_100k": dedup_rate,
+        "incremental_dedup_batch_docs_per_sec_10k_vs_100k_state": inc_rate,
         # host ceiling measured AFTER spark.stop() in the same process, so
         # the burn never contends with executor threads
         "calibration": calibration,

@@ -880,6 +880,115 @@ def q_simhash_candidates(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def _incremental_dedup_sql() -> str:
+    # full SQL replay of the two-step incremental ingest
+    # (dedup.dedup_batch_against_state, md5 mode): batch 1 = ids < 75
+    # against the empty state (== dedup_corpus), batch 2 = ids >= 75
+    # plus exact copies of ids < 25 re-keyed +1000, rejected iff >= 2
+    # shared bands with a single batch-1 survivor, then batch-deduped
+    # by recursive min-label components. The hot-bucket guard is a
+    # no-op at this scale (cap 1000), so it has no SQL counterpart.
+    mins = ",\n         ".join(
+        f"CAST(min(CAST(('0x' || substr(md5(shingle || '|{i}'), 1, 15)) AS BIGINT)"
+        f" % {_MH_P}) AS BIGINT) AS m{i}"
+        for i in range(32)
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band, "
+        f"m{b * 4} || ',' || m{b * 4 + 1} || ',' || m{b * 4 + 2} || ',' || m{b * 4 + 3} AS bucket "
+        f"FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 150 AND len(string_split(text, ' ')) >= 3
+  UNION ALL
+  SELECT doc_id + 1000, text FROM documents
+  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 3),
+w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM d),
+sh AS (
+  SELECT doc_id,
+         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS shingle
+  FROM w
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER win IS NOT NULL),
+sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+  {bands}),
+p1 AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id < 75 AND b.id < 75
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und1 AS (SELECT ia AS a, ib AS b FROM p1 UNION SELECT ib, ia FROM p1),
+reach1(n, r) AS (
+  SELECT doc_id, doc_id FROM d WHERE doc_id < 75
+  UNION
+  SELECT reach1.n, und1.b FROM reach1 JOIN und1 ON reach1.r = und1.a),
+surv1 AS (
+  SELECT n AS id FROM (SELECT n, min(r) AS c FROM reach1 GROUP BY n)
+  WHERE n = c),
+state1 AS (SELECT b.id, b.band, b.bucket FROM bands b JOIN surv1 s ON b.id = s.id),
+dup2 AS (
+  SELECT DISTINCT nb.id AS id
+  FROM bands nb JOIN state1 st ON nb.band = st.band AND nb.bucket = st.bucket
+  WHERE nb.id >= 75
+  GROUP BY nb.id, st.id HAVING count(*) >= 2),
+fresh AS (
+  SELECT doc_id AS id FROM d
+  WHERE doc_id >= 75 AND doc_id NOT IN (SELECT id FROM dup2)),
+p2 AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  JOIN fresh fa ON a.id = fa.id
+  JOIN fresh fb ON b.id = fb.id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und2 AS (SELECT ia AS a, ib AS b FROM p2 UNION SELECT ib, ia FROM p2),
+reach2(n, r) AS (
+  SELECT id, id FROM fresh
+  UNION
+  SELECT reach2.n, und2.b FROM reach2 JOIN und2 ON reach2.r = und2.a),
+surv2 AS (
+  SELECT n AS id FROM (SELECT n, min(r) AS c FROM reach2 GROUP BY n)
+  WHERE n = c)
+SELECT CAST(0 AS INT) AS batch, CAST(id AS BIGINT) AS doc_id FROM surv1
+UNION ALL
+SELECT CAST(1 AS INT) AS batch, CAST(id AS BIGINT) AS doc_id FROM surv2
+ORDER BY batch, doc_id
+"""
+
+
+@q("incremental_dedup", _incremental_dedup_sql())
+def q_incremental_dedup(spark, sf):
+    from medacy_spark.operators.dedup import dedup_batch_against_state
+
+    d = _docs(spark, sf).select("doc_id", "text").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    base = d.filter(F.col("doc_id") < 150)
+    b1 = base.filter(F.col("doc_id") < 75)
+    b2 = base.filter(F.col("doc_id") >= 75).unionByName(
+        d.filter(F.col("doc_id") < 25)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    empty = spark.createDataFrame([], "id long, band int, bucket string")
+    s1, st1 = dedup_batch_against_state(b1, empty, base_hash="md5")
+    s2, _ = dedup_batch_against_state(b2, st1, base_hash="md5")
+    return (
+        s1.select(F.lit(0).cast("int").alias("batch"), "doc_id")
+        .unionByName(s2.select(F.lit(1).cast("int").alias("batch"), "doc_id"))
+        .orderBy("batch", "doc_id")
+    )
+
+
 # ---- similarity search
 
 

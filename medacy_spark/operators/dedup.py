@@ -256,6 +256,47 @@ def minhash_signature_table(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_bucket_cols(rows: int, bands: int, base_hash: str) -> list[Column]:
+    """One bucket-key column per band over signature columns m0..m{n-1}.
+    md5 mode keeps the raw signature concat string (DuckDB-joinable);
+    production mode compresses it to an xxhash64 of the concat."""
+    def _bucket(cols):
+        joined = F.concat_ws(",", *cols)
+        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
+    return [
+        _bucket([F.col(f"m{b * rows + r}") for r in range(rows)]).alias(f"bb{b}")
+        for b in range(bands)
+    ]
+
+
+def band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) — the banded minhash relation as a first-class
+    output: the ADDITIVE state of incremental dedup. A new batch
+    candidate-joins against the stored band rows, and its survivors'
+    rows append (streaming/incremental.run_incremental_dedup). Same
+    arithmetic as minhash_lsh_candidates' internal banding — both build
+    their bucket keys from _band_bucket_cols, so a stored state and a
+    fresh sketch can never drift."""
+    rows = num_hashes // bands
+    sig = minhash_signature_table(
+        df, text_col, id_col, num_hashes, shingle_n, base_hash
+    )
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(*_band_bucket_cols(rows, bands, base_hash))
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -309,14 +350,12 @@ def minhash_lsh_candidates(
     # all-pairs self-join reads the signature table twice.
     if cut_lineage and max_bucket_size is None:
         sig = sig.localCheckpoint(eager=False)
-    def _bucket(cols):
-        joined = F.concat_ws(",", *cols)
-        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
-    band_buckets = [
-        _bucket([F.col(f"m{b * rows + r}") for r in range(rows)]).alias(f"bb{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket"))
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*_band_bucket_cols(rows, bands, base_hash))
+        ).alias("band", "bucket"),
+    )
     pairs = _capped_band_pairs(
         banded, ["band", "bucket"], "id", [], max_bucket_size,
         "minhash_lsh_candidates",
@@ -500,6 +539,7 @@ def dedup_corpus(
     bands: int = 8,
     min_bands: int = 2,
     verify_threshold: float | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Corpus-level near-duplicate removal: minhash-LSH candidate pairs →
     connected components over the near-dup graph → keep the minimum id of
@@ -525,7 +565,8 @@ def dedup_corpus(
     from medacy_spark.operators.graph import connected_components
 
     pairs = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, mark_hot=True
+        df, text_col, id_col, num_hashes, bands, base_hash=base_hash,
+        mark_hot=True,
     ).filter((F.col("n_bands") >= min_bands) | (F.col("n_hot_bands") > 0))
     if verify_threshold is not None:
         pairs = verify_near_dups(
@@ -538,6 +579,106 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(victims, id_col, "left_anti")
+
+
+def dedup_batch_against_state(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_bands: int = 2,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest step of INCREMENTAL near-dup removal: dedup a new batch
+    against the already-accepted corpus WITHOUT recomputing anything over
+    it — the stored band rows (``state``: band_table output, one (id,
+    band, bucket) row per accepted doc per band) are the corpus's entire
+    dedup identity.
+
+    A batch doc is rejected iff it shares >= ``min_bands`` band buckets
+    with a single accepted doc (the per-pair rule dedup_corpus applies),
+    or collides with a HOT state bucket (> ``max_bucket_size`` members —
+    megacluster boilerplate; membership alone is the dup signal,
+    mirroring dedup_corpus's hot-bucket exemption). The remaining docs
+    are batch-deduped by dedup_corpus. Returns ``(survivors,
+    survivor_band_rows)`` — append the latter to the state.
+
+    Survivor sets are order-dependent BY DESIGN — every streaming dedup
+    is (first writer wins). The pinned properties instead (gated in
+    test_streaming_windowed): (a) against an empty state this IS exactly
+    dedup_corpus(batch); (b) accepted docs are pairwise non-near-dup
+    across ALL batches, because the state only ever holds survivors;
+    (c) an identical batch sequence yields identical survivors,
+    including across a kill-and-resume.
+
+    Scale shape: the state join is equi on (band, bucket); the join
+    itself prunes the state to colliding buckets — no full-corpus scan,
+    no signature recompute for accepted docs. The batch's own sketch is
+    computed twice (state join + dedup_corpus's candidate join) — batch-
+    scale, not corpus-scale. The hot-bucket window shuffles the state's
+    (id, band, bucket) triples once per batch; a production deployment
+    maintains per-bucket counts incrementally instead, same semantics.
+    """
+    from pyspark.sql import Window
+
+    new_bands = band_table(
+        batch, text_col, id_col, num_hashes, bands, shingle_n, base_hash
+    ).localCheckpoint(eager=False)  # consumed by the state join AND the
+    # survivor state append — cut once
+    # prune the state to the buckets this batch touches BEFORE any
+    # per-bucket work: only colliding buckets can matter, and the pruned
+    # relation is batch-sized, not corpus-sized — the hot-bucket window
+    # below must never shuffle the whole state. The batch bucket set is
+    # micro-batch-bounded (bands rows per doc), so it broadcasts: the
+    # prune is then a map-side semi join over the state scan, no state
+    # shuffle at all.
+    state = state.join(
+        F.broadcast(new_bands.select("band", "bucket").distinct()),
+        ["band", "bucket"], "left_semi",
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        marked = state.select(
+            "id", "band", "bucket",
+            F.count("*").over(w).alias("_n"),
+            F.min("id").over(w).alias("_hub"),
+        )
+        # hot buckets collapse to their hub row: the batch side joins
+        # O(1) state rows per hot bucket instead of O(k)
+        state_side = marked.filter(
+            (F.col("_n") <= max_bucket_size) | (F.col("id") == F.col("_hub"))
+        ).select(
+            F.col("id").alias("_old"), "band", "bucket",
+            (F.col("_n") > max_bucket_size).alias("_hot"),
+        )
+    else:
+        state_side = state.select(
+            F.col("id").alias("_old"), "band", "bucket",
+            F.lit(False).alias("_hot"),
+        )
+    hits = (
+        new_bands.select(F.col("id").alias("_new"), "band", "bucket")
+        .join(state_side, ["band", "bucket"])
+        .groupBy("_new", "_old")
+        .agg(F.count("*").alias("n_bands"), F.max("_hot").alias("any_hot"))
+    )
+    dup_ids = hits.filter(
+        (F.col("n_bands") >= min_bands) | F.col("any_hot")
+    ).select(F.col("_new").alias(id_col)).distinct()
+    fresh = batch.join(dup_ids, id_col, "left_anti")
+    survivors = dedup_corpus(
+        fresh, text_col, id_col, num_hashes, bands, min_bands,
+        base_hash=base_hash,
+    ).localCheckpoint(eager=False)  # both returned frames hang off the
+    # survivor set; the caller's two sinks must not recompute it
+    new_state = new_bands.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return survivors, new_state
 
 
 def clean_corpus(

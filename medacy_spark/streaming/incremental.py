@@ -99,6 +99,70 @@ def run_incremental_counts(
     )
 
 
+def run_incremental_dedup(
+    stream_df: DataFrame,
+    state_path: str,
+    survivors_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    **dedup_kw,
+) -> StreamingQuery:
+    """Streaming near-dup removal over a growing corpus — the additive-
+    state shape of ``run_incremental_counts`` applied to dedup: the
+    persisted band-bucket relation (``state_path``) only ever APPENDS,
+    and each micro-batch LSH-dedups against the accepted corpus via a
+    band equi-join on it, so there is NO full-corpus recompute per batch
+    (dedup.dedup_batch_against_state has the semantics and the scale
+    shape). Two sinks per batch: accepted documents (``survivors_path``)
+    and their band rows (``state_path``).
+
+    Exactly-once: both sinks are batch_id-keyed idempotent writes
+    (`_write_batch`), and the state read EXCLUDES the current batch's
+    own partition — an at-least-once replay that crashed between the
+    state write and the checkpoint commit therefore recomputes from
+    exactly the state the first attempt saw, then overwrites both
+    partitions wholesale. Survivor determinism across a kill-and-resume
+    is gated in test_streaming_windowed.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from medacy_spark.operators.dedup import dedup_batch_against_state
+
+    # bootstrap an empty state partition so the first batch's read
+    # resolves (batch=-1 sorts before every real batch id); idempotent
+    spark = stream_df.sparkSession
+    id_type = stream_df.schema[id_col].dataType
+    empty_state = spark.createDataFrame([], StructType([
+        StructField("id", id_type),
+        StructField("band", IntegerType()),
+        StructField("bucket", StringType()),
+    ]))
+    _write_batch(empty_state, state_path, -1)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        state = (
+            s.read.parquet(state_path)
+            .filter(F.col("batch") < batch_id)
+            .select("id", "band", "bucket")
+        )
+        survivors, new_state = dedup_batch_against_state(
+            batch_df, state, id_col=id_col, **dedup_kw
+        )
+        # survivors is lazily checkpointed inside the operator: the first
+        # write materializes it, the state sink reuses the checkpoint
+        _write_batch(survivors, survivors_path, batch_id)
+        _write_batch(new_state, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def merged_counts(
     spark: SparkSession,
     output_path: str,

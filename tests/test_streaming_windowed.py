@@ -124,6 +124,79 @@ def test_incremental_cooccurrence_counts_match_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_rows
 
 
+def _run_dedup_ingest(spark, docs, tmp, tag):
+    """Two-step ingest: batch 1 (doc_id < 250), then a late-arrival
+    batch 2 on the SAME checkpoint (resume) containing fresh docs plus
+    exact copies of batch-1 texts under new ids."""
+    from medacy_spark.streaming.incremental import (
+        run_incremental_dedup,
+        stream_documents,
+    )
+
+    src_p = str(tmp / f"src_{tag}")
+    state = str(tmp / f"state_{tag}")
+    surv = str(tmp / f"surv_{tag}")
+    ck = str(tmp / f"ck_{tag}")
+    schema = "doc_id bigint, text string"
+    b1 = docs.filter("doc_id < 250")
+    b1.write.parquet(src_p)
+    q = run_incremental_dedup(
+        stream_documents(spark, src_p, schema), state, surv, ck
+    )
+    q.awaitTermination(300)
+    b2 = docs.filter("doc_id >= 250").unionByName(
+        b1.filter("doc_id < 50").selectExpr("doc_id + 10000 AS doc_id", "text")
+    )
+    b2.write.mode("append").parquet(src_p)
+    q2 = run_incremental_dedup(
+        stream_documents(spark, src_p, schema), state, surv, ck
+    )
+    q2.awaitTermination(300)
+    return spark.read.parquet(surv)
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Streaming LSH dedup over the persisted band-bucket state. Pinned
+    properties: (a) batch 1 against the empty state equals
+    dedup_corpus(batch 1) EXACTLY; (b) exact copies of already-accepted
+    texts arriving in a later batch are all rejected; (c) the accepted
+    set is pairwise non-near-dup across batches (no surviving candidate
+    pair with >= min_bands collisions); (d) the two-step ingest with a
+    kill-and-resume boundary is deterministic — a fresh identical run
+    yields identical survivors."""
+    from medacy_spark.operators.dedup import dedup_corpus, minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = _run_dedup_ingest(spark, docs, tmp_path, "a")
+
+    # (a) batch-1 survivors == batch dedup of batch 1
+    s1 = sorted(r["doc_id"] for r in got.filter("batch = 0").collect())
+    want1 = sorted(
+        r["doc_id"] for r in dedup_corpus(docs.filter("doc_id < 250")).collect()
+    )
+    assert s1 == want1
+
+    # (b) every planted copy rejected
+    surv_ids = sorted(r["doc_id"] for r in got.collect())
+    assert not [i for i in surv_ids if i >= 10000]
+
+    # (c) pairwise non-near-dup across batches
+    accepted = docs.join(
+        spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint"),
+        "doc_id", "left_semi",
+    )
+    cand = minhash_lsh_candidates(accepted).filter("n_bands >= 2")
+    assert cand.count() == 0
+
+    # (d) identical rerun (fresh state/checkpoint) -> identical survivors
+    got_b = _run_dedup_ingest(spark, docs, tmp_path, "b")
+    assert sorted(
+        (r["batch"], r["doc_id"]) for r in got_b.collect()
+    ) == sorted((r["batch"], r["doc_id"]) for r in got.collect())
+
+
 def test_write_batch_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a crash between the sink write and
     the checkpoint commit replays the batch with the SAME batch_id. The
