@@ -10,15 +10,18 @@ Decoders, per the pluggable contract on extract_media_features:
     IEEE-float RIFF/WAVE) feeding genuine signal statistics.
   * ``decoder="gif"`` — REAL frame-sequence decode: functions/gif.py
     (full LZW + animation composition); extract_frame_features below
-    samples and featurizes individual frames, making the video-shaped
-    path real for the one multi-frame format this container can decode.
-  * compressed-video containers (mp4 etc.) need ffmpeg, NOT in this
-    container — pass their adapter as ``decoder=callable`` in a
+    samples and featurizes individual frames.
+  * ``decoder="avi"`` — REAL compressed-VIDEO decode: functions/avi.py
+    walks the RIFF/AVI container and decodes every Motion-JPEG frame
+    through functions/jpeg.py; extract_frame_features(container="avi")
+    samples real video frames.
+  * modern codecs (h264/vp9/av1 in mp4/mkv/webm) need ffmpeg, NOT in
+    this container — pass their adapter as ``decoder=callable`` in a
     production image; the plan does not change.
   * ``fake=True`` — deterministic byte-histogram stand-in for payloads
     that are not real media, exercising the identical Spark topology.
 
-Contract tested in tests/test_ops.py; the PNG/JPEG/WAV/GIF decoders
+Contract tested in tests/test_ops.py; the PNG/JPEG/WAV/GIF/AVI decoders
 prove the swap-in on real encoder output inside the Arrow batch.
 """
 
@@ -86,16 +89,16 @@ def extract_media_features(
           task (the reference's corrupt-file skip, dataset.py:150-155).
 
     ``decoder`` may be a callable or one of the strings ``"png"``,
-    ``"jpeg"``, ``"wav"``, ``"gif"``, selecting the container-native
-    pure-Python decoders (real decoded rasters/waveforms/frame
-    sequences; fixed-dim stats features — 23 for rasters and audio,
-    25 for GIF). Compressed-video containers need ffmpeg, absent here:
-    with neither ``decoder`` nor ``fake`` the stage raises
-    NotImplementedError. ``fake=True`` selects
-    the deterministic byte-histogram stand-in, which exercises the
-    identical mapInPandas topology — iterator batching, bounded batch
-    memory via arrow.maxRecordsPerBatch, per-row error flagging instead
-    of task failure.
+    ``"jpeg"``, ``"wav"``, ``"gif"``, ``"avi"``, selecting the
+    container-native pure-Python decoders (real decoded rasters/
+    waveforms/frame sequences/Motion-JPEG video; fixed-dim stats
+    features — 23 for rasters and audio, 25 for GIF and AVI). Modern
+    video codecs (h264 etc.) need an external adapter: with neither
+    ``decoder`` nor ``fake`` the stage raises ValueError at plan time.
+    ``fake=True`` selects the deterministic byte-histogram stand-in,
+    which exercises the identical mapInPandas topology — iterator
+    batching, bounded batch memory via arrow.maxRecordsPerBatch,
+    per-row error flagging instead of task failure.
     """
     if decoder == "png":
         from medacy_spark.functions.png import png_feature_decoder as decoder  # noqa: F811
@@ -105,16 +108,18 @@ def extract_media_features(
         from medacy_spark.functions.wav import wav_feature_decoder as decoder  # noqa: F811
     elif decoder == "gif":
         from medacy_spark.functions.gif import gif_feature_decoder as decoder  # noqa: F811
+    elif decoder == "avi":
+        from medacy_spark.functions.avi import avi_feature_decoder as decoder  # noqa: F811
     elif decoder is None:
         if not fake:
             # config error, raised at plan time on the driver — a decoder's
             # own per-row exceptions (any type) are flagged, never re-raised
-            raise NotImplementedError(
-                "compressed-video container decode requires ffmpeg — not in "
-                "this container; pass decoder='png'/'jpeg' (images), "
-                "'wav' (audio), 'gif' (image/frame sequences), "
-                "decoder=<callable>, or fake=True for the deterministic "
-                "test decoder"
+            raise ValueError(
+                "no decoder selected; pass decoder='png'/'jpeg' (images), "
+                "'wav' (audio), 'gif' (frame sequences), 'avi' "
+                "(Motion-JPEG video), decoder=<callable> (e.g. an ffmpeg "
+                "adapter for h264/vp9 containers), or fake=True for the "
+                "deterministic test decoder"
             )
 
         def decoder(payload, meta):  # noqa: F811 - the documented default
@@ -159,15 +164,20 @@ FRAME_FEATURE_SCHEMA = "doc_id long, frame_no int, feature array<float>, ok bool
 
 
 def extract_frame_features(
-    media: DataFrame, every_n: int = 5, max_frames: int = 64
+    media: DataFrame,
+    every_n: int = 5,
+    max_frames: int = 64,
+    container: str = "gif",
 ) -> DataFrame:
-    """REAL per-frame feature extraction for frame-sequence payloads
-    (animated GIF — the one multi-frame format decodable without
-    ffmpeg): decode each payload once inside the Arrow batch, sample
-    every ``every_n``-th composited frame (capped at ``max_frames``
-    sampled frames per doc), and emit the shared 23-dim raster stats
-    per frame. Corrupt payloads yield a single (frame_no=-1, ok=False)
-    row, mirroring the per-row error contract of the still-image stage.
+    """REAL per-frame feature extraction for multi-frame payloads:
+    ``container="gif"`` decodes animated GIFs (functions/gif.py,
+    composited RGBA frames), ``container="avi"`` decodes Motion-JPEG
+    video (functions/avi.py, per-frame JPEG through functions/jpeg.py).
+    Decode each payload once inside the Arrow batch, sample every
+    ``every_n``-th frame (capped at ``max_frames`` sampled frames per
+    doc), and emit the shared 23-dim raster stats per frame. Corrupt
+    payloads yield a single (frame_no=-1, ok=False) row, mirroring the
+    per-row error contract of the still-image stage.
 
     One decode serves all sampled frames — the naive alternative
     (frame_sample_plan explode → per-(doc, frame) decode join) would
@@ -175,8 +185,16 @@ def extract_frame_features(
     decode dominates, so the explode happens AFTER decode, driver-free,
     inside the same mapInPandas pass.
     """
+    from medacy_spark.functions.avi import avi_decode
     from medacy_spark.functions.gif import gif_decode, gif_frame_rgb
     from medacy_spark.functions.png import raster_features
+
+    if container == "gif":
+        decode, to_rgb = gif_decode, gif_frame_rgb
+    elif container == "avi":
+        decode, to_rgb = avi_decode, (lambda f: f)  # already RGB
+    else:
+        raise ValueError(f"container must be gif|avi, got {container!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,12 +206,12 @@ def extract_frame_features(
                 # set alongside the corrupt marker
                 doc_rows: list[tuple[int, list[float]]] = []
                 try:
-                    frames, _delays = gif_decode(bytes(payload))
+                    frames, _timing = decode(bytes(payload))
                     sampled = range(0, frames.shape[0], every_n)
                     for frame_no in list(sampled)[:max_frames]:
                         doc_rows.append((
                             frame_no,
-                            [float(v) for v in raster_features(gif_frame_rgb(frames[frame_no]))],
+                            [float(v) for v in raster_features(to_rgb(frames[frame_no]))],
                         ))
                 except Exception:
                     ids.append(doc_id)

@@ -308,11 +308,11 @@ def test_media_decoder_contract(spark, doc_ids):
     assert all(r["feature"] is None for r in rows if not r["ok"])
     assert sum(not r["ok"] for r in rows) == sum(1 for r in rows if r["doc_id"] % 7 == 0)
 
-    # no decoder and no fake -> the documented stub, raised driver-side at
-    # plan time (a real decoder's per-row exceptions are flagged instead)
+    # no decoder and no fake -> config error, raised driver-side at plan
+    # time (a real decoder's per-row exceptions are flagged instead)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="requires ffmpeg"):
+    with _pytest.raises(ValueError, match="no decoder selected"):
         extract_media_features(media)
 
     # a decoder raising NotImplementedError for ONE row (unsupported
@@ -977,6 +977,124 @@ def test_gif_frame_sampling_stage(spark):
         assert list(r["feature"]) == pytest.approx(exp, rel=1e-6, abs=1e-6)
     assert [r["frame_no"] for r in by_doc[2]] == [0]
     assert len(by_doc[3]) == 1 and by_doc[3][0]["frame_no"] == -1 and not by_doc[3][0]["ok"]
+
+
+def _build_mjpeg_avi(
+    jpegs, w, h, usec_per_frame=40_000, handler=b"MJPG", compression=b"MJPG"
+):
+    """Test-side spec-derived RIFF/AVI writer (the gif.py validation
+    methodology: wrap REAL production-encoder JPEG bytes in a container
+    built independently of the decoder)."""
+    import struct
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0x10, len(jpegs), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + handler
+        + struct.pack("<I2H8I", 0, 0, 0, 0, 1, 25, 0, len(jpegs), 0,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = (
+        struct.pack("<I2i2H", 40, w, h, 1, 24) + compression
+        + struct.pack("<I2i2I", w * h * 3, 0, 0, 0, 0)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi + chunk(b"JUNK", b"\x00" * 16)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_decoder_and_video_stage(spark):
+    """Motion-JPEG-in-AVI: the RIFF walk decodes every frame through the
+    JPEG codec bit-identically to a direct jpeg_decode of the wrapped
+    bytes, the frames match the same raster's PNG from an unrelated
+    encoder (cross-FORMAT ground truth, the gif.py methodology), the
+    decoder-contract adapter and the frame-sampling stage both run over
+    real video payloads, and invalid containers raise the documented
+    ValueError."""
+    import numpy as np
+    import pytest
+
+    from medacy_spark.functions.avi import avi_decode, avi_feature_decoder
+    from medacy_spark.functions.jpeg import jpeg_decode
+    from medacy_spark.functions.png import png_decode, raster_features
+    from medacy_spark.operators.multimodal import (
+        extract_frame_features,
+        extract_media_features,
+    )
+
+    jp = open("tests/fixtures/python.jpg", "rb").read()
+    avi = _build_mjpeg_avi([jp] * 5, 16, 16)
+    frames, fps = avi_decode(avi)
+    assert frames.shape == (5, 16, 16, 3) and fps == 25.0
+    ref = jpeg_decode(jp)
+    for f in frames:
+        assert np.array_equal(f, ref)
+
+    # cross-format ground truth: every AVI frame vs the unrelated
+    # encoder's PNG of the same raster (luma PSNR, as in the JPEG test)
+    p = png_decode(open("tests/fixtures/python.png", "rb").read()).astype(float)
+
+    def luma(img):
+        return 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+
+    mse = ((luma(frames[0].astype(float)) - luma(p)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) >= 35.0
+
+    feat = avi_feature_decoder(avi, None)
+    assert len(feat) == 25 and feat[-2:] == [5.0, 25.0]
+    assert feat[:23] == raster_features(frames[0])
+
+    # error contract
+    with pytest.raises(ValueError, match="not an AVI"):
+        avi_decode(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError):
+        avi_decode(avi[:40])  # truncated
+    with pytest.raises(ValueError, match="not a JPEG"):
+        avi_decode(_build_mjpeg_avi([b"\x00\x01garbage!"], 16, 16))
+    with pytest.raises(ValueError, match="ffmpeg adapter"):
+        avi_decode(_build_mjpeg_avi([jp], 16, 16,
+                                    handler=b"H264", compression=b"H264"))
+
+    # stage integration: decoder='avi' still stage + container='avi'
+    # frame-sampling stage over real and corrupt payloads
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(avi), (16, 16, None, 5)),
+            (2, "video", bytearray(b"RIFF but not really"), (0, 0, None, 0)),
+        ],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = {r["doc_id"]: r for r in extract_media_features(media, decoder="avi").collect()}
+    assert out[1]["ok"] and len(out[1]["feature"]) == 25
+    assert out[1]["feature"][-2:] == [5.0, 25.0]
+    assert not out[2]["ok"]
+
+    sampled = extract_frame_features(media, every_n=2, container="avi").collect()
+    by_doc = {}
+    for r in sampled:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["frame_no"] for r in by_doc[1]) == [0, 2, 4]
+    for r in by_doc[1]:
+        assert r["ok"]
+        assert list(r["feature"]) == pytest.approx(
+            raster_features(frames[r["frame_no"]]), rel=1e-6, abs=1e-6
+        )
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["frame_no"] == -1 and not by_doc[2][0]["ok"]
 
 
 # --- test-side JPEG encoders (spec-derived, independent of the decoder) ---
