@@ -395,6 +395,169 @@ def train_word_vectors(
     return vocab, ppmi_svd(vocab, counts, dim=dim, alpha=alpha)
 
 
+def _factor_matmul(m: DataFrame, factor: DataFrame, row_col: str, join_col: str) -> DataFrame:
+    """Distributed sparse(VxV) @ dense(Vxk): ``m(w, c, v)`` joins the
+    k-exploded factor table ``factor(i, j, q)`` on ``join_col`` and
+    sums per (row, j). Pure JVM (join + map-side-combined sum); the
+    intermediate is nnz*k rows — the matmul's actual flop count."""
+    return (
+        m.join(factor.withColumnRenamed("i", join_col), join_col)
+        .groupBy(F.col(row_col).alias("i"), "j")
+        .agg(F.sum(F.col("v") * F.col("q")).alias("q"))
+    )
+
+
+def _k_transform(rows: DataFrame, t: np.ndarray, spark) -> DataFrame:
+    """rows(i, j, q) @ t(kxk) -> (i, j, q): the kxk matrix broadcasts as
+    a (l, j, t) relation; per row-block the transform is an equi-join +
+    sum. Driver traffic is k² — never vocab-scale."""
+    k = t.shape[0]
+    tdf = spark.createDataFrame(
+        [(int(l), int(j), float(t[l, j])) for l in range(k) for j in range(t.shape[1])],
+        "l int, j int, t double",
+    )
+    return (
+        rows.withColumnRenamed("j", "l")
+        .join(F.broadcast(tdf), "l")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("q") * F.col("t")).alias("q"))
+    )
+
+
+def _gram(rows: DataFrame, k: int) -> np.ndarray:
+    """ZᵀZ for a (i, j, q) factor table: self-join on the row key,
+    aggregate per (j, j') — k² driver rows, never vocab-scale."""
+    a = rows.select("i", F.col("j").alias("_ja"), F.col("q").alias("_qa"))
+    b = rows.select("i", F.col("j").alias("_jb"), F.col("q").alias("_qb"))
+    g = np.zeros((k, k))
+    for r in (
+        a.join(b, "i")
+        .groupBy("_ja", "_jb")
+        .agg(F.sum(F.col("_qa") * F.col("_qb")).alias("g"))
+        .collect()
+    ):
+        g[r["_ja"], r["_jb"]] = r["g"]
+    return g
+
+
+def _sym_orth(z: DataFrame, k: int, spark) -> DataFrame:
+    """Symmetric (Löwdin) orthonormalization of a distributed Vxk factor:
+    Q = Z (ZᵀZ)^(-1/2), computed from the k² Gram on the driver —
+    the Cholesky-QR family, stable for the k ≤ ~100 this path targets."""
+    g = _gram(z, k)
+    evals, evecs = np.linalg.eigh(g)
+    evals = np.clip(evals, 1e-12, None)
+    t = evecs @ np.diag(evals ** -0.5) @ evecs.T
+    return _k_transform(z, t, spark)
+
+
+def train_word_vectors_distributed(
+    tokens: DataFrame,
+    dim: int = DIM,
+    window: int = WINDOW,
+    alpha: float = ALPHA,
+    id_cols: Sequence[str] = ("doc_id", "sent_id"),
+    order_col: str = "tok_id",
+    word_col: str = "word",
+    iters: int = 20,
+) -> tuple[list[str], np.ndarray]:
+    """The beyond-driver-RAM upgrade path for `train_word_vectors`
+    (VERDICT r6 #7): block subspace iteration over the PPMI DataFrame.
+    The driver path materializes a DENSE vocab² count matrix — dead
+    beyond ~30-50k vocabulary; here the PPMI matrix stays a distributed
+    (word, ctx, ppmi) relation and the driver only ever holds
+    vocab×dim (the init and the one final collect) plus k² Grams per
+    iteration.
+
+    Per iteration (all JVM-side DataFrame ops): Y = M·Q and Z = Mᵀ·Y via
+    `_factor_matmul` (join + map-side-combined sums), then symmetric
+    orthonormalization from the k²-scale Gram. After ``iters`` rounds
+    the k×k eigendecomposition of (MQ)ᵀ(MQ) yields the singular pairs
+    restricted to the converged subspace; embeddings = U·√S with the
+    SAME column-sign fix and row L2 normalization as the dense
+    `ppmi_svd`, so on a spectrum-separated corpus the two paths agree
+    elementwise (tolerance-gated in test_embeddings_train — float
+    summation order differs across partitionings, so the distributed
+    path is deterministic only up to float addition order; the
+    byte-pinned pmc_word2vec fixture stays on the driver path).
+
+    Lineage: the PPMI relation is consumed 2× per iteration × iters —
+    localCheckpointed once; each iteration's factor is checkpointed so
+    plans don't snowball (the connected_components discipline).
+    """
+    spark = tokens.sparkSession
+    toks = tokens.select(
+        *id_cols, order_col, _clean(word_col).alias("_w")
+    ).filter(F.col("_w") != "").localCheckpoint(eager=True)
+    vocab = sorted(r["_w"] for r in toks.select("_w").distinct().collect())
+    v_n = len(vocab)
+    k = min(dim, v_n)
+    vdf = F.broadcast(spark.createDataFrame(
+        [(w, i) for i, w in enumerate(vocab)], "_w string, _i long"
+    ))
+
+    cooc = cooccurrence_pairs(
+        toks, window=window, id_cols=id_cols, order_col=order_col, word_col="_w"
+    )
+    # map to integer ids, reusing the ppmi arithmetic on id-keyed rows
+    cooc_ids = (
+        cooc.join(vdf.withColumnRenamed("_w", "word"), "word")
+        .withColumnRenamed("_i", "word_id")
+        .join(vdf.withColumnRenamed("_w", "ctx"), "ctx")
+        .withColumnRenamed("_i", "ctx_id")
+        .select(
+            F.col("word_id").alias("word"),
+            F.col("ctx_id").alias("ctx"),
+            "n",
+        )
+    )
+    m = (
+        ppmi(cooc_ids, alpha=alpha)
+        .filter(F.col("ppmi") > 0)
+        .select(F.col("word").alias("w"), F.col("ctx").alias("c"),
+                F.col("ppmi").alias("v"))
+        .localCheckpoint(eager=True)  # consumed 2x per iteration
+    )
+    mt = m.select(F.col("c").alias("w"), F.col("w").alias("c"), "v")
+
+    # deterministic RNG-free init (any full-rank-ish matrix works; the
+    # subspace iteration forgets it), orthonormalized on the driver —
+    # vocab×dim, the declared model-scale boundary
+    q0 = np.cos(np.outer(np.arange(1, v_n + 1), np.arange(1, k + 1)))
+    q0, _ = np.linalg.qr(q0)
+    q = spark.createDataFrame(
+        [(int(i), int(j), float(q0[i, j])) for i in range(v_n) for j in range(k)],
+        "i long, j int, q double",
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        y = _factor_matmul(m, q, "w", "c")
+        z = _factor_matmul(mt, y, "w", "c").localCheckpoint(eager=True)
+        q = _sym_orth(z, k, spark).localCheckpoint(eager=True)
+
+    y = _factor_matmul(m, q, "w", "c").localCheckpoint(eager=True)
+    g = _gram(y, k)  # (MQ)ᵀ(MQ) = W S² Wᵀ
+    evals, w_g = np.linalg.eigh(g)
+    order = np.argsort(evals)[::-1]
+    s = np.sqrt(np.clip(evals[order], 0.0, None))
+    w_g = w_g[:, order]
+    # embeddings = U√S = Y W S^(-1/2); zero singular values yield zero
+    # columns (matching the dense path's ~0 dimensions up to noise)
+    inv_sqrt_s = np.where(s > 1e-12, s ** -0.5, 0.0)
+    e = _k_transform(y, w_g @ np.diag(inv_sqrt_s), spark)
+
+    # one model-scale collect: vocab×dim
+    vecs = np.zeros((v_n, k))
+    for r in e.collect():
+        vecs[r["i"], r["j"]] = r["q"]
+    flip = np.sign(vecs[np.abs(vecs).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    vecs = vecs * flip
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return vocab, vecs / norms
+
+
 def write_word2vec(path: str, vocab: list[str], vecs: np.ndarray) -> None:
     """word2vec-text dump (`count dim` header, then `word v1 v2 ...`) —
     the format sources/embeddings.py reads back (S6)."""
