@@ -163,6 +163,57 @@ def run_incremental_dedup(
     )
 
 
+def compact_state(spark: SparkSession, state_path: str) -> int:
+    """Offline maintenance for an additive batch-keyed log (the band-
+    bucket dedup state, or any `_write_batch` sink): fold every
+    ``batch=N`` partition into the HIGHEST existing batch id and drop
+    the rest. Long-running ingest otherwise accumulates one directory
+    (and its files) per micro-batch — the classic small-files problem;
+    at production scale this runs on a schedule like any table
+    compaction. Returns the batch id the state was folded into.
+
+    Run with the stream STOPPED. Correctness: the consolidated rows keep
+    the maximum EXISTING batch id, and streaming batch ids are strictly
+    monotonic from the checkpoint, so the next real batch's state read
+    (``batch < batch_id``) still sees the full state, and the
+    replay-exclusion rule is preserved (a replayed LAST batch would
+    re-read state that includes its own rows ONLY if it had already
+    committed — in which case it is not replayed). The rewrite stages
+    through a sibling directory and renames into place so a crash
+    mid-compaction leaves either the old or the new layout, never a
+    partial mix.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(state_path)
+    max_batch = df.agg(F.max("batch")).collect()[0][0]
+    if max_batch is None:
+        return -1
+    staging = state_path.rstrip("/") + "__compacting"
+    (
+        df.drop("batch")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .parquet(f"{staging}/batch={max_batch}")
+    )
+    # atomic-enough swap via the Hadoop FS API (portable: local, HDFS,
+    # object stores with rename support)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = jvm.org.apache.hadoop.fs.Path(state_path)
+    new = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = old.getFileSystem(hconf)
+    trash = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + "__old")
+    if not fs.rename(old, trash):
+        raise IOError(f"compact_state: could not move {state_path} aside")
+    if not fs.rename(new, old):
+        # roll back so the state stays readable
+        fs.rename(trash, old)
+        raise IOError(f"compact_state: could not swap {staging} into place")
+    fs.delete(trash, True)
+    return int(max_batch)
+
+
 def merged_counts(
     spark: SparkSession,
     output_path: str,

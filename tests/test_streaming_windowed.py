@@ -196,6 +196,38 @@ def test_incremental_dedup_stream(spark, tmp_path):
         (r["batch"], r["doc_id"]) for r in got_b.collect()
     ) == sorted((r["batch"], r["doc_id"]) for r in got.collect())
 
+    # (e) state compaction mid-stream: fold the batch dirs into one,
+    # then a third late batch on the SAME checkpoint — an exact copy of
+    # an accepted doc is still rejected, a genuinely fresh doc accepted
+    import os
+
+    from medacy_spark.streaming.incremental import (
+        compact_state,
+        run_incremental_dedup,
+        stream_documents,
+    )
+
+    state = str(tmp_path / "state_a")
+    folded = compact_state(spark, state)
+    assert sorted(
+        d for d in os.listdir(state) if d.startswith("batch=")
+    ) == [f"batch={folded}"]
+    doc0 = docs.filter("doc_id = 0").first()["text"]
+    b3 = spark.createDataFrame(
+        [(20000, doc0),
+         (30000, "a genuinely fresh document sharing no shingles with "
+                 "anything ingested before it at all")],
+        "doc_id bigint, text string",
+    )
+    b3.write.mode("append").parquet(str(tmp_path / "src_a"))
+    q3 = run_incremental_dedup(
+        stream_documents(spark, str(tmp_path / "src_a"), "doc_id bigint, text string"),
+        state, str(tmp_path / "surv_a"), str(tmp_path / "ck_a"),
+    )
+    q3.awaitTermination(300)
+    final = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "surv_a")).collect()}
+    assert 30000 in final and 20000 not in final
+
 
 def test_write_batch_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a crash between the sink write and
@@ -216,3 +248,25 @@ def test_write_batch_replay_idempotent(spark, tmp_path):
     )
     got = {r["k"]: r["n"] for r in merged_counts(spark, out, ("k",)).collect()}
     assert got == {"a": 1, "b": 2, "c": 5, "d": 7}
+
+
+def test_compact_state_folds_batches(spark, tmp_path):
+    """compact_state folds every batch partition into the highest
+    existing batch id (small-files maintenance for long-running ingest);
+    the fold result is unchanged and only one partition remains."""
+    import os
+
+    from medacy_spark.streaming.incremental import (
+        _write_batch,
+        compact_state,
+        merged_counts,
+    )
+
+    out = str(tmp_path / "log")
+    _write_batch(spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long"), out, 0)
+    _write_batch(spark.createDataFrame([("a", 5)], "k string, n long"), out, 3)
+    folded = compact_state(spark, out)
+    assert folded == 3
+    assert sorted(d for d in os.listdir(out) if d.startswith("batch=")) == ["batch=3"]
+    got = {r["k"]: r["n"] for r in merged_counts(spark, out, ("k",)).collect()}
+    assert got == {"a": 6, "b": 2}
