@@ -491,6 +491,8 @@ def train_word_vectors_distributed(
     ).filter(F.col("_w") != "").localCheckpoint(eager=True)
     vocab = sorted(r["_w"] for r in toks.select("_w").distinct().collect())
     v_n = len(vocab)
+    if v_n == 0:
+        return [], np.zeros((0, dim))
     k = min(dim, v_n)
     vdf = F.broadcast(spark.createDataFrame(
         [(w, i) for i, w in enumerate(vocab)], "_w string, _i long"
