@@ -778,24 +778,33 @@ def q_ngram_jaccard(spark, sf):
 _MH_P = 2147483647
 
 
-def _minhash_sql() -> str:
-    # per-permutation independent md5 hashes, mirroring dedup.perm_hash
-    # (md5 mode): the shingle salted with '|i'. See perm_hash's docstring
-    # for why the cheaper linear-transform family was abandoned (measured
-    # lattice-correlation false positives AND false negatives at 1M docs).
-    mins = ",\n         ".join(
+# per-permutation independent md5 hashes, mirroring dedup.perm_hash
+# (md5 mode): the shingle salted with '|i'. See perm_hash's docstring
+# for why the cheaper linear-transform family was abandoned (measured
+# lattice-correlation false positives AND false negatives at 1M docs).
+# ONE generator serves every minhash-replaying oracle (minhash_lsh,
+# incremental_dedup) so the permutation arithmetic can never fork.
+
+
+def _minhash_mins_sql() -> str:
+    return ",\n         ".join(
         f"CAST(min(CAST(('0x' || substr(md5(shingle || '|{i}'), 1, 15)) AS BIGINT)"
         f" % {_MH_P}) AS BIGINT) AS m{i}"
         for i in range(32)
     )
-    bands = "\n  UNION ALL\n  ".join(
+
+
+def _minhash_bands_sql() -> str:
+    return "\n  UNION ALL\n  ".join(
         f"SELECT id, {b} AS band, "
         f"m{b * 4} || ',' || m{b * 4 + 1} || ',' || m{b * 4 + 2} || ',' || m{b * 4 + 3} AS bucket "
         f"FROM sig"
         for b in range(8)
     )
-    return f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+
+
+# the shared shingle→signature→band CTE chain over a corpus CTE `d`
+_MINHASH_SHINGLE_CTES = """
 w AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS word,
@@ -807,9 +816,20 @@ sh AS (
   FROM w
   WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY lead(word, 2) OVER win IS NOT NULL),
-sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
-bands AS (
-  {bands})
+"""
+
+
+def _minhash_sig_band_ctes() -> str:
+    return (
+        _MINHASH_SHINGLE_CTES
+        + f"sig AS (SELECT doc_id AS id, {_minhash_mins_sql()} FROM sh GROUP BY doc_id),\n"
+        + f"bands AS (\n  {_minhash_bands_sql()})"
+    )
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),{_minhash_sig_band_ctes()}
 SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -888,17 +908,9 @@ def _incremental_dedup_sql() -> str:
     # shared bands with a single batch-1 survivor, then batch-deduped
     # by recursive min-label components. The hot-bucket guard is a
     # no-op at this scale (cap 1000), so it has no SQL counterpart.
-    mins = ",\n         ".join(
-        f"CAST(min(CAST(('0x' || substr(md5(shingle || '|{i}'), 1, 15)) AS BIGINT)"
-        f" % {_MH_P}) AS BIGINT) AS m{i}"
-        for i in range(32)
-    )
-    bands = "\n  UNION ALL\n  ".join(
-        f"SELECT id, {b} AS band, "
-        f"m{b * 4} || ',' || m{b * 4 + 1} || ',' || m{b * 4 + 2} || ',' || m{b * 4 + 3} AS bucket "
-        f"FROM sig"
-        for b in range(8)
-    )
+    # Shingle/signature/band SQL comes from the SAME generator as the
+    # minhash_lsh oracle (_minhash_sig_band_ctes) — one formula, no
+    # drift.
     return f"""
 WITH RECURSIVE
 d AS (
@@ -906,21 +918,7 @@ d AS (
   WHERE doc_id < 150 AND len(string_split(text, ' ')) >= 3
   UNION ALL
   SELECT doc_id + 1000, text FROM documents
-  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 3),
-w AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' ')) AS word,
-         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-  FROM d),
-sh AS (
-  SELECT doc_id,
-         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS shingle
-  FROM w
-  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-  QUALIFY lead(word, 2) OVER win IS NOT NULL),
-sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
-bands AS (
-  {bands}),
+  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 3),{_minhash_sig_band_ctes()},
 p1 AS (
   SELECT a.id AS ia, b.id AS ib
   FROM bands a JOIN bands b

@@ -540,6 +540,8 @@ def dedup_corpus(
     min_bands: int = 2,
     verify_threshold: float | None = None,
     base_hash: str = "xxhash64",
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Corpus-level near-duplicate removal: minhash-LSH candidate pairs →
     connected components over the near-dup graph → keep the minimum id of
@@ -565,8 +567,8 @@ def dedup_corpus(
     from medacy_spark.operators.graph import connected_components
 
     pairs = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, base_hash=base_hash,
-        mark_hot=True,
+        df, text_col, id_col, num_hashes, bands, shingle_n=shingle_n,
+        base_hash=base_hash, max_bucket_size=max_bucket_size, mark_hot=True,
     ).filter((F.col("n_bands") >= min_bands) | (F.col("n_hot_bands") > 0))
     if verify_threshold is not None:
         pairs = verify_near_dups(
@@ -592,6 +594,7 @@ def dedup_batch_against_state(
     shingle_n: int = 3,
     base_hash: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    broadcast_max_buckets: int = 4_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest step of INCREMENTAL near-dup removal: dedup a new batch
     against the already-accepted corpus WITHOUT recomputing anything over
@@ -632,14 +635,17 @@ def dedup_batch_against_state(
     # prune the state to the buckets this batch touches BEFORE any
     # per-bucket work: only colliding buckets can matter, and the pruned
     # relation is batch-sized, not corpus-sized — the hot-bucket window
-    # below must never shuffle the whole state. The batch bucket set is
-    # micro-batch-bounded (bands rows per doc), so it broadcasts: the
-    # prune is then a map-side semi join over the state scan, no state
-    # shuffle at all.
-    state = state.join(
-        F.broadcast(new_bands.select("band", "bucket").distinct()),
-        ["band", "bucket"], "left_semi",
-    )
+    # below must never shuffle the whole state. A NORMAL micro-batch's
+    # bucket set (bands rows per doc) broadcasts, making the prune a
+    # map-side semi join with no state shuffle — but availableNow's
+    # FIRST batch is the whole backlog, so the hint is counted, not
+    # assumed (the graph.py broadcast_max_terms lesson): above the
+    # threshold the prune falls back to a shuffle semi join, which is
+    # still correct and still batch-bounded on the build side.
+    bucket_set = new_bands.select("band", "bucket").distinct()
+    if bucket_set.count() <= broadcast_max_buckets:
+        bucket_set = F.broadcast(bucket_set)
+    state = state.join(bucket_set, ["band", "bucket"], "left_semi")
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         marked = state.select(
@@ -670,9 +676,13 @@ def dedup_batch_against_state(
         (F.col("n_bands") >= min_bands) | F.col("any_hot")
     ).select(F.col("_new").alias(id_col)).distinct()
     fresh = batch.join(dup_ids, id_col, "left_anti")
+    # every sketch parameter forwards: the intra-batch dedup MUST use the
+    # same arithmetic as the state join, or property (a) (empty state ==
+    # dedup_corpus) and property (b) (pairwise non-near-dup) break
     survivors = dedup_corpus(
         fresh, text_col, id_col, num_hashes, bands, min_bands,
-        base_hash=base_hash,
+        base_hash=base_hash, shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
     ).localCheckpoint(eager=False)  # both returned frames hang off the
     # survivor set; the caller's two sinks must not recompute it
     new_state = new_bands.join(

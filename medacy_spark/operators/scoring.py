@@ -242,6 +242,10 @@ def with_macro(prf_df: DataFrame) -> DataFrame:
         c for c in prf_df.columns if c not in ("tag", "tp", "fp", "fn")
     ]
     count_cols = [c for c in ("tp", "fp", "fn") if c in prf_df.columns]
+    # the union reads prf_df twice (per-tag rows + the macro aggregate) —
+    # cut the lineage so the scorer pipeline underneath runs once, not
+    # once per branch (the repo's single-pass invariant)
+    prf_df = prf_df.localCheckpoint(eager=False)
     macro = (
         prf_df.filter(F.col("tag") != "system")
         .agg(*[F.avg(c).alias(c) for c in metric_cols])

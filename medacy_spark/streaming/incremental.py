@@ -165,23 +165,26 @@ def run_incremental_dedup(
 
 def compact_state(spark: SparkSession, state_path: str) -> int:
     """Offline maintenance for an additive batch-keyed log (the band-
-    bucket dedup state, or any `_write_batch` sink): fold every
-    ``batch=N`` partition into the HIGHEST existing batch id and drop
-    the rest. Long-running ingest otherwise accumulates one directory
-    (and its files) per micro-batch — the classic small-files problem;
-    at production scale this runs on a schedule like any table
-    compaction. Returns the batch id the state was folded into.
+    bucket dedup state, or any `_write_batch` sink): fold every batch
+    partition STRICTLY OLDER than the newest into one partition
+    (``batch = max - 1``), keeping the newest batch's own partition.
+    Long-running ingest otherwise accumulates one directory (and its
+    files) per micro-batch — the classic small-files problem; at
+    production scale this runs on a schedule like any table compaction.
+    Returns the batch id the older partitions were folded into.
 
-    Run with the stream STOPPED. Correctness: the consolidated rows keep
-    the maximum EXISTING batch id, and streaming batch ids are strictly
-    monotonic from the checkpoint, so the next real batch's state read
-    (``batch < batch_id``) still sees the full state, and the
-    replay-exclusion rule is preserved (a replayed LAST batch would
-    re-read state that includes its own rows ONLY if it had already
-    committed — in which case it is not replayed). The rewrite stages
-    through a sibling directory and renames into place so a crash
-    mid-compaction leaves either the old or the new layout, never a
-    partial mix.
+    Run with the stream STOPPED. Why the newest partition is NEVER
+    folded into: the stream may have died BETWEEN the sink writes and
+    the streaming-checkpoint commit, in which case the newest batch id
+    N will REPLAY on resume — its state read filters ``batch < N`` and
+    its sinks overwrite ``batch=N``. Folding history into batch=N would
+    make that replay (a) see an empty state and (b) overwrite the
+    folded history, silently destroying the whole accepted corpus. Every
+    batch strictly below the newest is committed by monotonicity, so
+    folding THOSE into ``max-1`` is invisible to any future or replayed
+    read. The rewrite stages through a sibling directory and renames
+    into place so a crash mid-compaction leaves either the old or the
+    new layout, never a partial mix.
     """
     from pyspark.sql import functions as F
 
@@ -189,10 +192,18 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
     max_batch = df.agg(F.max("batch")).collect()[0][0]
     if max_batch is None:
         return -1
+    target = int(max_batch) - 1
     staging = state_path.rstrip("/") + "__compacting"
     (
-        df.drop("batch")
+        df.filter(F.col("batch") < max_batch)
+        .drop("batch")
         .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .parquet(f"{staging}/batch={target}")
+    )
+    (
+        df.filter(F.col("batch") == max_batch)
+        .drop("batch")
         .write.mode("overwrite")
         .parquet(f"{staging}/batch={max_batch}")
     )
@@ -211,7 +222,7 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
         fs.rename(trash, old)
         raise IOError(f"compact_state: could not swap {staging} into place")
     fs.delete(trash, True)
-    return int(max_batch)
+    return target
 
 
 def merged_counts(

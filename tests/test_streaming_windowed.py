@@ -209,9 +209,12 @@ def test_incremental_dedup_stream(spark, tmp_path):
 
     state = str(tmp_path / "state_a")
     folded = compact_state(spark, state)
+    # batches -1 and 0 fold into batch=0; batch=1 (the newest — possibly
+    # uncommitted in a real crash) keeps its own partition
+    assert folded == 0
     assert sorted(
         d for d in os.listdir(state) if d.startswith("batch=")
-    ) == [f"batch={folded}"]
+    ) == ["batch=0", "batch=1"]
     doc0 = docs.filter("doc_id = 0").first()["text"]
     b3 = spark.createDataFrame(
         [(20000, doc0),
@@ -251,9 +254,13 @@ def test_write_batch_replay_idempotent(spark, tmp_path):
 
 
 def test_compact_state_folds_batches(spark, tmp_path):
-    """compact_state folds every batch partition into the highest
-    existing batch id (small-files maintenance for long-running ingest);
-    the fold result is unchanged and only one partition remains."""
+    """compact_state folds every batch partition STRICTLY OLDER than the
+    newest into one (small-files maintenance for long-running ingest);
+    the newest batch keeps its own partition — it may be an uncommitted
+    batch that will replay (its sinks overwrite batch=N and its state
+    read filters batch < N, so folding history into N would both blind
+    the replay and let it destroy the folded history). The fold result
+    is unchanged."""
     import os
 
     from medacy_spark.streaming.incremental import (
@@ -264,9 +271,25 @@ def test_compact_state_folds_batches(spark, tmp_path):
 
     out = str(tmp_path / "log")
     _write_batch(spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long"), out, 0)
+    _write_batch(spark.createDataFrame([("b", 9)], "k string, n long"), out, 1)
     _write_batch(spark.createDataFrame([("a", 5)], "k string, n long"), out, 3)
     folded = compact_state(spark, out)
-    assert folded == 3
-    assert sorted(d for d in os.listdir(out) if d.startswith("batch=")) == ["batch=3"]
+    assert folded == 2
+    assert sorted(d for d in os.listdir(out) if d.startswith("batch=")) == [
+        "batch=2", "batch=3",
+    ]
     got = {r["k"]: r["n"] for r in merged_counts(spark, out, ("k",)).collect()}
-    assert got == {"a": 6, "b": 2}
+    assert got == {"a": 6, "b": 11}
+
+    # the crash-replay scenario the newest-partition rule exists for:
+    # batch 3's commit never landed, so it replays — re-reading state
+    # batch < 3 (history intact) and overwriting its own partition
+    replay_state = {
+        r["k"]: r["n"]
+        for r in spark.read.parquet(out).filter("batch < 3")
+        .groupBy("k").sum("n").withColumnRenamed("sum(n)", "n").collect()
+    }
+    assert replay_state == {"a": 1, "b": 11}  # full pre-batch-3 history
+    _write_batch(spark.createDataFrame([("a", 7)], "k string, n long"), out, 3)
+    got2 = {r["k"]: r["n"] for r in merged_counts(spark, out, ("k",)).collect()}
+    assert got2 == {"a": 8, "b": 11}  # replay rewrote, never double-counted
