@@ -253,6 +253,35 @@ def test_write_batch_replay_idempotent(spark, tmp_path):
     assert got == {"a": 1, "b": 2, "c": 5, "d": 7}
 
 
+def test_incremental_dedup_hot_state_bucket(spark):
+    """A batch doc colliding with a HOT state bucket (> max_bucket_size
+    members) is rejected on membership alone — the min_bands exemption
+    mirroring dedup_corpus's hot handling. Isolated by min_bands=9 with
+    bands=8: pure band counting can never reject, so only the hot flag
+    can; with the guard disabled the same doc survives."""
+    from medacy_spark.operators.dedup import band_table, dedup_batch_against_state
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate mirror text repeated across hosts")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    state = band_table(docs)
+    batch = spark.createDataFrame(
+        [(1000, "the same boilerplate mirror text repeated across hosts"),
+         (2000, "a genuinely different document with its own words entirely")],
+        "doc_id long, text string",
+    )
+    surv_hot, _ = dedup_batch_against_state(
+        batch, state, min_bands=9, max_bucket_size=10
+    )
+    assert sorted(r["doc_id"] for r in surv_hot.collect()) == [2000]
+    surv_off, _ = dedup_batch_against_state(
+        batch, state, min_bands=9, max_bucket_size=None
+    )
+    assert sorted(r["doc_id"] for r in surv_off.collect()) == [1000, 2000]
+
+
 def test_compact_state_folds_batches(spark, tmp_path):
     """compact_state folds every batch partition STRICTLY OLDER than the
     newest into one (small-files maintenance for long-running ingest);
