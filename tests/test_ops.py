@@ -1097,6 +1097,32 @@ def test_avi_mjpeg_decoder_and_video_stage(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["frame_no"] == -1 and not by_doc[2][0]["ok"]
 
 
+def test_avi_decoder_error_contract_fuzz():
+    """Container parsers are a bug farm on corrupt input: every
+    single-byte mutation and every truncation of a valid AVI must either
+    decode or raise the documented ValueError — never IndexError,
+    struct.error, KeyError, or a hang (the per-row error flagging in the
+    media stage catches Exception, but the ValueError contract is what
+    the codec family documents). Deterministic mutation schedule."""
+    import pytest
+
+    from medacy_spark.functions.avi import avi_decode
+
+    jp = open("tests/fixtures/python.jpg", "rb").read()
+    avi = _build_mjpeg_avi([jp] * 2, 16, 16)
+    for i in range(300):
+        b = bytearray(avi)
+        pos = (i * 9973) % len(b)
+        b[pos] ^= 0xFF
+        try:
+            avi_decode(bytes(b))
+        except ValueError:
+            pass  # the documented contract
+    for cut in range(0, len(avi), 83):
+        with pytest.raises(ValueError):
+            avi_decode(avi[:cut])
+
+
 # --- test-side JPEG encoders (spec-derived, independent of the decoder) ---
 
 class _JBits:
