@@ -373,14 +373,20 @@ FROM all_rows ORDER BY tag
 """
 
 
-@q("measures_strict", BASE_CTES + """
+# strict-mode greedy matching (exact-key min-count): ONE constant serves
+# measures_strict and measures_macro so the tp/fp/fn arithmetic can
+# never fork between them
+_STRICT_KEY_TP = """
 , gc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM gold GROUP BY ALL),
 sc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM pred GROUP BY ALL),
 key_tp AS (
   SELECT gc.tag, least(gc.c, sc.c) AS tp, sc.c AS consumed
   FROM gc JOIN sc ON gc.doc_id = sc.doc_id AND gc.tag = sc.tag
    AND gc.start = sc.start AND gc."end" = sc."end")
-""" + _MEASURES_TAIL)
+"""
+
+
+@q("measures_strict", BASE_CTES + _STRICT_KEY_TP + _MEASURES_TAIL)
 def q_measures_strict(spark, sf):
     from medacy_spark.operators.scoring import measures, with_prf
     return with_prf(measures(gold_df(spark, sf), pred_df(spark, sf), mode="strict"))
@@ -407,14 +413,7 @@ def q_measures_lenient(spark, sf):
 # differ between engines at the last ulp.
 
 
-@q("measures_macro", BASE_CTES + """
-, gc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM gold GROUP BY ALL),
-sc AS (SELECT doc_id, tag, start, "end", count(*) AS c FROM pred GROUP BY ALL),
-key_tp AS (
-  SELECT gc.tag, least(gc.c, sc.c) AS tp, sc.c AS consumed
-  FROM gc JOIN sc ON gc.doc_id = sc.doc_id AND gc.tag = sc.tag
-   AND gc.start = sc.start AND gc."end" = sc."end")
-""" + _MEASURES_CTES + """
+@q("measures_macro", BASE_CTES + _STRICT_KEY_TP + _MEASURES_CTES + """
 , prf AS (
   SELECT tag,
     CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END AS p,

@@ -37,6 +37,12 @@ import numpy as np
 from medacy_spark.functions.jpeg import jpeg_decode
 
 _MAX_FRAMES = 4096  # matches functions/gif.py's animation cap
+# aggregate decoded-raster budget: per-frame geometry is capped by the
+# JPEG codec's own _MAX_PIXELS, but a few-MB payload of many max-size
+# frames would still accumulate n_frames*h*w*3 bytes of decoded frames —
+# the same allocation-bomb class the JPEG SOF cap closes. 256M pixels
+# ≈ 0.75 GB RGB, far above any legitimate fixture-scale clip.
+_MAX_TOTAL_PIXELS = 256_000_000
 
 
 def _u32(d: bytes, i: int) -> int:
@@ -162,7 +168,16 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
             raise
         if px.ndim == 2:
             px = np.repeat(px[:, :, None], 3, axis=2)
-        if frames and px.shape != frames[0].shape:
+        if not frames:
+            # geometry known after the FIRST frame: bound the aggregate
+            # allocation before decoding the rest
+            total = len(frame_spans) * px.shape[0] * px.shape[1]
+            if total > _MAX_TOTAL_PIXELS:
+                raise ValueError(
+                    f"AVI demands {total} decoded pixels across "
+                    f"{len(frame_spans)} frames, exceeds decode cap"
+                )
+        elif px.shape != frames[0].shape:
             raise ValueError("AVI frames disagree on geometry")
         frames.append(px)
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0

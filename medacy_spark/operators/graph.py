@@ -123,18 +123,17 @@ def same_as_edges(links: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).distinct()
 
 
-def materialize_nodes_edges(
+def canonicalize_triples(
     links: DataFrame,
     triples: DataFrame,
     id_col: str = "doc_id",
     broadcast_max_terms: int = 2_000_000,
-) -> tuple[DataFrame, DataFrame]:
-    """Materialize the KG: nodes(canonical_id, label, names) and
-    edges(src, pred, dst, weight) — the north-star node/edge tables.
-
-    Canonical id = component representative from connected_components over
-    same_as edges; mentions without a CUI canonicalize to their surface
-    form. Edge weight = support count (number of extracted triples).
+) -> DataFrame:
+    """The canonicalization core of materialize_nodes_edges: every
+    triple's subj/obj surface form joined to its component
+    representative (src_id/dst_id), surface forms without a component
+    falling back to themselves. Exposed separately so the plan gate can
+    pin the JOIN STRATEGY on the un-checkpointed lineage.
 
     ``term_canon`` (surface form -> component) is CORPUS-DERIVED: one row
     per distinct lowercased mention surface form. Unlike the gazetteer /
@@ -168,7 +167,7 @@ def materialize_nodes_edges(
         F.lower(F.col("obj.text")).alias("_obj_norm"),
         F.col("obj.text").alias("o_text"),
     )
-    s = (
+    return (
         s.join(canon_rel, "_norm", "left")
         .withColumn("src_id", canon_of(F.col("s_text")))
         .drop("canon", "_norm")
@@ -177,6 +176,27 @@ def materialize_nodes_edges(
         .withColumn("dst_id", canon_of(F.col("o_text")))
         .drop("canon", "_norm")
     )
+
+
+def materialize_nodes_edges(
+    links: DataFrame,
+    triples: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_max_terms: int = 2_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the KG: nodes(canonical_id, label, names) and
+    edges(src, pred, dst, weight) — the north-star node/edge tables.
+
+    Canonical id = component representative from connected_components over
+    same_as edges (see canonicalize_triples for the join-strategy
+    bounds); mentions without a CUI canonicalize to their surface form.
+    Edge weight = support count (number of extracted triples).
+    """
+    s = canonicalize_triples(links, triples, id_col, broadcast_max_terms)
+    # the canonicalized relation feeds edges once and the nodes union
+    # TWICE — cut the lineage so the triples scan + both term_canon
+    # joins run a single time (the single-pass invariant)
+    s = s.localCheckpoint(eager=False)
     edges = s.groupBy("src_id", "pred", "dst_id").agg(
         F.count("*").alias("weight")
     )

@@ -182,11 +182,34 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
     folded history, silently destroying the whole accepted corpus. Every
     batch strictly below the newest is committed by monotonicity, so
     folding THOSE into ``max-1`` is invisible to any future or replayed
-    read. The rewrite stages through a sibling directory and renames
-    into place so a crash mid-compaction leaves either the old or the
-    new layout, never a partial mix.
+    read.
+
+    Crash safety: the rewrite stages through a sibling ``__compacting``
+    directory and swaps via two renames. Leftovers from a previous
+    crashed compaction are handled UP FRONT — a state moved aside but
+    never replaced (crash between the renames) is restored from
+    ``__old``, and stale staging/trash dirs are deleted before any
+    write (stale staged partitions would otherwise be swapped into the
+    live state and double-count band collisions). The residual window
+    is the instant between the two renames; a hard kill there is
+    repaired by the restore-on-next-run path, not lost.
     """
     from pyspark.sql import functions as F
+
+    # recover/clean leftovers from a previously crashed compaction
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    old = hpath(state_path)
+    staging_p = hpath(state_path.rstrip("/") + "__compacting")
+    trash_p = hpath(state_path.rstrip("/") + "__old")
+    fs = old.getFileSystem(hconf)
+    if not fs.exists(old) and fs.exists(trash_p):
+        # crashed between the two renames: restore the moved-aside state
+        if not fs.rename(trash_p, old):
+            raise IOError(f"compact_state: could not restore {state_path}")
+    fs.delete(staging_p, True)
+    fs.delete(trash_p, True)
 
     df = spark.read.parquet(state_path)
     max_batch = df.agg(F.max("batch")).collect()[0][0]
@@ -207,21 +230,16 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
         .write.mode("overwrite")
         .parquet(f"{staging}/batch={max_batch}")
     )
-    # atomic-enough swap via the Hadoop FS API (portable: local, HDFS,
-    # object stores with rename support)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    old = jvm.org.apache.hadoop.fs.Path(state_path)
-    new = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = old.getFileSystem(hconf)
-    trash = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + "__old")
-    if not fs.rename(old, trash):
+    # two-rename swap via the Hadoop FS API (portable: local, HDFS,
+    # object stores with rename support); the crash window between the
+    # renames is repaired by the restore-on-next-run path above
+    if not fs.rename(old, trash_p):
         raise IOError(f"compact_state: could not move {state_path} aside")
-    if not fs.rename(new, old):
+    if not fs.rename(staging_p, old):
         # roll back so the state stays readable
-        fs.rename(trash, old)
-        raise IOError(f"compact_state: could not swap {staging} into place")
-    fs.delete(trash, True)
+        fs.rename(trash_p, old)
+        raise IOError(f"compact_state: could not swap staging into place")
+    fs.delete(trash_p, True)
     return target
 
 

@@ -239,17 +239,25 @@ def test_term_canon_broadcast_is_bounded(spark):
         "doc_id long, pred string, subj struct<text:string>, "
         "obj struct<text:string>",
     )
+    from medacy_spark.operators.graph import canonicalize_triples
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # join strategy pinned on the un-checkpointed canonicalization
+        # core (materialize_nodes_edges cuts the lineage before its two
+        # consumers, which hides the joins from the outer plans)
+        assert "BroadcastHashJoin" in _plan(
+            canonicalize_triples(links, triples)  # hint holds below cap
+        )
+        plan_s = _plan(canonicalize_triples(links, triples, broadcast_max_terms=0))
+        assert "BroadcastHashJoin" not in plan_s
+        assert "BroadcastExchange" not in plan_s
+
         nodes_b, edges_b = materialize_nodes_edges(links, triples)
-        assert "BroadcastHashJoin" in _plan(edges_b)  # hint holds below cap
         nodes_s, edges_s = materialize_nodes_edges(
             links, triples, broadcast_max_terms=0
         )
-        plan_s = _plan(edges_s) + _plan(nodes_s)
-        assert "BroadcastHashJoin" not in plan_s
-        assert "BroadcastExchange" not in plan_s
 
         def same(a, b):
             return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
