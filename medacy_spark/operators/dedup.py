@@ -607,8 +607,10 @@ def dedup_batch_against_state(
     or collides with a HOT state bucket (> ``max_bucket_size`` members —
     megacluster boilerplate; membership alone is the dup signal,
     mirroring dedup_corpus's hot-bucket exemption). The remaining docs
-    are batch-deduped by dedup_corpus. Returns ``(survivors,
-    survivor_band_rows)`` — append the latter to the state.
+    are batch-deduped with dedup_corpus's exact arithmetic (same pair
+    filter, same min-id components) over the same band relation.
+    Returns ``(survivors, survivor_band_rows)`` — append the latter to
+    the state.
 
     Survivor sets are order-dependent BY DESIGN — every streaming dedup
     is (first writer wins). The pinned properties instead (gated in
@@ -621,10 +623,11 @@ def dedup_batch_against_state(
     Scale shape: the state join is equi on (band, bucket); the join
     itself prunes the state to colliding buckets — no full-corpus scan,
     no signature recompute for accepted docs. The batch's own sketch is
-    computed twice (state join + dedup_corpus's candidate join) — batch-
-    scale, not corpus-scale. The hot-bucket window shuffles the state's
-    (id, band, bucket) triples once per batch; a production deployment
-    maintains per-bucket counts incrementally instead, same semantics.
+    computed ONCE (the checkpointed band relation feeds the state join,
+    the intra-batch candidate pairs and the survivor state append). The
+    hot-bucket window shuffles the PRUNED state rows once per batch; a
+    production deployment maintains per-bucket counts incrementally
+    instead, same semantics.
     """
     from pyspark.sql import Window
 
@@ -675,16 +678,41 @@ def dedup_batch_against_state(
     dup_ids = hits.filter(
         (F.col("n_bands") >= min_bands) | F.col("any_hot")
     ).select(F.col("_new").alias(id_col)).distinct()
-    fresh = batch.join(dup_ids, id_col, "left_anti")
-    # every sketch parameter forwards: the intra-batch dedup MUST use the
-    # same arithmetic as the state join, or property (a) (empty state ==
-    # dedup_corpus) and property (b) (pairwise non-near-dup) break
-    survivors = dedup_corpus(
-        fresh, text_col, id_col, num_hashes, bands, min_bands,
-        base_hash=base_hash, shingle_n=shingle_n,
-        max_bucket_size=max_bucket_size,
-    ).localCheckpoint(eager=False)  # both returned frames hang off the
-    # survivor set; the caller's two sinks must not recompute it
+    # consumed by the fresh-band semi join AND the final anti-join base
+    fresh = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=False)
+    # intra-batch dedup WITHOUT re-sketching: band rows are per-doc, so
+    # restricting the ALREADY-CHECKPOINTED batch band relation to fresh
+    # ids is arithmetically identical to dedup_corpus's re-sketch of the
+    # fresh subset (property (a) still holds exactly) — and the sketch
+    # was the other half of the ingest cost. Same min_bands/hot-exempt
+    # pair filter and min-id components as dedup_corpus.
+    from medacy_spark.operators.graph import connected_components
+
+    fresh_bands = new_bands.join(
+        fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    pairs = (
+        _capped_band_pairs(
+            fresh_bands, ["band", "bucket"], "id", [], max_bucket_size,
+            "dedup_batch_against_state",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_bands"),
+            F.sum(F.col("_star").cast("int")).alias("n_hot_bands"),
+        )
+        .filter((F.col("n_bands") >= min_bands) | (F.col("n_hot_bands") > 0))
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    victims = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    survivors = fresh.join(victims, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )  # both returned frames hang off the survivor set; the caller's
+    # two sinks must not recompute it
     new_state = new_bands.join(
         survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     )
