@@ -1564,11 +1564,11 @@ def q_unit_token_flags(spark, sf):
 # the synthetic dictionary), unlinked surfaces stay 't:<text>'.
 
 
-def _kg_sql(which: str) -> str:
+def _kg_e_base() -> str:
     dict_vals = ", ".join(
         f"('{t}', '{c}')" for t, c, _ in lex.cui_dictionary_rows()
     )
-    base = f"""{_clin_ctes()}, tri AS ({_TRI_SELECT}),
+    return f"""{_clin_ctes()}, tri AS ({_TRI_SELECT}),
 dict(term, cui) AS (VALUES {dict_vals}),
 tc AS (SELECT term, min(cui) AS cui FROM dict GROUP BY term),
 e AS (
@@ -1580,6 +1580,10 @@ e AS (
   LEFT JOIN tc ts ON lower(tri.subj_text) = ts.term
   LEFT JOIN tc td ON lower(tri.obj_text) = td.term)
 """
+
+
+def _kg_sql(which: str) -> str:
+    base = _kg_e_base()
     if which == "edges":
         return base + """
 SELECT src_id, pred, dst_id, CAST(count(*) AS BIGINT) AS weight
@@ -1629,6 +1633,66 @@ def q_kg_nodes(spark, sf):
     return nodes.select(
         "canonical_id", F.array_join("names", ",").alias("names")
     ).orderBy("canonical_id")
+
+
+# ---- PageRank over the KG: fixed-iteration weighted power method,
+# dangling mass NOT redistributed (the classic MapReduce formulation —
+# graph.pagerank's docstring). The oracle unrolls the iterations as
+# chained CTEs over the same canonical edge base; float arithmetic is
+# parenthesized identically on both engines (share = weight / wout
+# first, then rank × share) so only sum ordering differs — far inside
+# the round-to-9 tolerance.
+
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""pr{k} AS (
+  SELECT nd.node,
+         (1.0 - {d}) / (SELECT n FROM nn) + {d} * coalesce(c.contrib, 0.0) AS rnk
+  FROM nodes nd LEFT JOIN (
+    SELECT ed.dst_id AS node, sum(p.rnk * (ed.weight / o.wout)) AS contrib
+    FROM pr{k - 1} p
+    JOIN ed ON p.node = ed.src_id
+    JOIN outd o ON ed.src_id = o.src_id
+    GROUP BY ed.dst_id) c ON nd.node = c.node)""")
+    chain = ",\n".join(steps)
+    return f"""{_kg_e_base()},
+ed AS (
+  SELECT src_id, dst_id, CAST(count(*) AS DOUBLE) AS weight
+  FROM e GROUP BY src_id, dst_id),
+nodes AS (SELECT src_id AS node FROM ed UNION SELECT dst_id FROM ed),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS (SELECT src_id, sum(weight) AS wout FROM ed GROUP BY src_id),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rnk FROM nodes),
+{chain}
+SELECT node, round(rnk, 9) AS pagerank
+FROM pr{iters} ORDER BY node
+"""
+
+
+@q("kg_pagerank", _pagerank_sql())
+def q_kg_pagerank(spark, sf):
+    from medacy_spark.operators.graph import pagerank
+
+    _, edges = _kg_tables(spark, sf)
+    ed = edges.groupBy("src_id", "dst_id").agg(
+        F.sum("weight").cast("double").alias("weight")
+    )
+    pr = pagerank(
+        ed,
+        src="src_id",
+        dst="dst_id",
+        weight="weight",
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+    )
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank")).orderBy(
+        "node"
+    )
 
 
 # ---- X4: stratified fold assignment (reference create_folds semantics)
@@ -3122,6 +3186,153 @@ FROM pick ORDER BY doc_id
 """
 
 
+# ---- Gopher repetition signals: most-frequent-2/3-gram character
+# fraction + duplicated-5-gram character fraction. The oracle rebuilds
+# the n-grams with window leads over the positional token table and
+# picks the top gram with the same (count, gram) tie-break the Spark
+# max(struct) aggregate uses.
+
+
+def _repetition_sql() -> str:
+    def gram(n: int) -> str:
+        parts = " || ' ' || ".join(
+            ["word"] + [f"lead(word, {k}) OVER win" for k in range(1, n)]
+        )
+        return (
+            f"SELECT doc_id, {parts} AS gram FROM w\n"
+            f"  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)\n"
+            f"  QUALIFY lead(word, {n - 1}) OVER win IS NOT NULL"
+        )
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+g2 AS ({gram(2)}),
+g3 AS ({gram(3)}),
+g5 AS ({gram(5)}),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+c5 AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, gram, c FROM c2
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) = 1),
+t3 AS (SELECT doc_id, gram, c FROM c3
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) = 1),
+d5 AS (SELECT doc_id, sum(c * length(gram)) AS dup FROM c5 WHERE c >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(CAST(t2.c * length(t2.gram) AS DOUBLE)
+             / greatest(length(d.text), 1), 0.0), 9) AS top2gram_frac,
+       round(coalesce(CAST(t3.c * length(t3.gram) AS DOUBLE)
+             / greatest(length(d.text), 1), 0.0), 9) AS top3gram_frac,
+       round(least(coalesce(CAST(d5.dup AS DOUBLE)
+             / greatest(length(d.text), 1), 0.0), 1.0), 9) AS dup5gram_frac
+FROM documents d
+LEFT JOIN t2 ON d.doc_id = t2.doc_id
+LEFT JOIN t3 ON d.doc_id = t3.doc_id
+LEFT JOIN d5 ON d.doc_id = d5.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@q("repetition_signals", _repetition_sql())
+def q_repetition_signals(spark, sf):
+    from medacy_spark.operators.textstats import repetition_signals
+
+    r = repetition_signals(_docs(spark, sf))
+    return r.select(
+        "doc_id",
+        F.round("top2gram_frac", 9).alias("top2gram_frac"),
+        F.round("top3gram_frac", 9).alias("top3gram_frac"),
+        F.round("dup5gram_frac", 9).alias("dup5gram_frac"),
+    ).orderBy("doc_id")
+
+
+# ---- Benchmark decontamination: the "benchmark" is derived
+# deterministically from the corpus itself (every doc_id % 7 == 3 doc
+# with ≥14 tokens contributes its tokens 3..14 as one benchmark entry)
+# so contamination is guaranteed planted and both engines rebuild the
+# identical benchmark — no external data.
+
+_DECONTAM_N = 8
+
+
+def _decontam_sql(n: int = _DECONTAM_N) -> str:
+    parts = " || ' ' || ".join(
+        ["word"] + [f"lead(word, {k}) OVER win" for k in range(1, n)]
+    )
+    return f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_slice(string_split(text, ' '), 3, 14), ' ') AS text
+  FROM documents
+  WHERE doc_id % 7 = 3 AND len(string_split(text, ' ')) >= 14),
+bw AS (
+  SELECT bench_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM bench),
+bg AS (
+  SELECT DISTINCT {parts} AS gram FROM bw
+  WINDOW win AS (PARTITION BY bench_id ORDER BY pos)
+  QUALIFY lead(word, {n - 1}) OVER win IS NOT NULL),
+w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+g AS (
+  SELECT doc_id, {parts} AS gram FROM w
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, {n - 1}) OVER win IS NOT NULL),
+per AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  FROM g LEFT JOIN bg ON g.gram = bg.gram
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CASE WHEN coalesce(per.n_grams, 0) > 0
+             THEN CAST(per.n_contaminated AS DOUBLE) / per.n_grams
+             ELSE 0.0 END, 9) AS contamination_frac,
+       coalesce(per.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def benchmark_df(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic synthetic benchmark table (see _decontam_sql)."""
+    toks = F.split("text", " ")
+    return (
+        _docs(spark, sf)
+        .filter((F.col("doc_id") % 7 == 3) & (F.size(toks) >= 14))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 3, 12), " ").alias("text"),
+        )
+    )
+
+
+@q("benchmark_decontam", _decontam_sql())
+def q_benchmark_decontam(spark, sf):
+    from medacy_spark.operators.decontam import ngram_contamination
+
+    out = ngram_contamination(
+        _docs(spark, sf), benchmark_df(spark, sf), n=_DECONTAM_N
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round("contamination_frac", 9).alias("contamination_frac"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
 @q("ngram_language_id", _langid_sql())
 def q_ngram_language_id(spark, sf):
     from medacy_spark.operators.textstats import detect_language_ngram
@@ -3206,6 +3417,7 @@ def q_cooccurrence_ppmi(spark, sf):
 _PRIORITY = [
     # new in round 7 (no driver record yet)
     "incremental_dedup", "measures_macro",
+    "kg_pagerank", "repetition_signals", "benchmark_decontam",
     # newest driver record is r4/r5 — rotate in for fresh rows
     "ade_lines", "clinical_mention_counts", "clinical_rule_tokens",
     "clinical_triples", "con_roundtrip", "connected_components",

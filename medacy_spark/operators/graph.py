@@ -113,6 +113,100 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over edges(src, dst[, weight]) -> (node, pagerank).
+
+    Fixed-iteration power method — the KG analytics companion to
+    materialize_nodes_edges (rank concept nodes by citation mass; the
+    reference's count-ordered entities, ref inter_dataset_agreement.py
+    entity tallies, generalized to graph centrality). Dangling nodes
+    (no out-edges) keep the (1-d)/N floor and their mass is NOT
+    redistributed — the classic MapReduce formulation; total rank then
+    undershoots 1.0 by the dangling mass, which is fine for *ranking*
+    and keeps the per-iteration plan to exactly one join + one
+    aggregation, replayable closed-form in SQL.
+
+    Scale shape: the edge relation (with its out-degree normalization
+    pre-joined) is localCheckpointed ONCE and re-read per iteration;
+    ranks are checkpointed per iteration so plans don't snowball.
+    Each iteration is one equi-join on src (rank side is node-scale,
+    far smaller than edges) + one map-side-combinable groupBy(dst).
+    No collect anywhere — N comes from a count on the checkpointed
+    node table.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    # pre-normalize: each edge carries its share of the source's out-mass,
+    # so the per-iteration join never recomputes out-degrees
+    outd = e.groupBy("_s").agg(F.sum("_w").alias("_wout"))
+    norm = (
+        e.join(outd, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_wout")).alias("_share"))
+        .localCheckpoint()
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pagerank"))
+    for _ in range(iterations):
+        contrib = (
+            norm.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("pagerank") * F.col("_share")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
+                    "pagerank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node (node, out_degree, in_degree) — one pass per direction,
+    full-outer merged; the cheap KG health profile that precedes any
+    centrality run."""
+    o = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    i = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        o.join(i, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
 def same_as_edges(links: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build same_as edges from the links table: every surface form shares
     an edge with its CUI (term-node <-> concept-node), so all aliases of a

@@ -140,6 +140,90 @@ def doc_fingerprint(text: Column) -> Column:
     return F.pmod(F.aggregate(terms, F.lit(0).cast("long"), lambda s, v: s + v), F.lit(_FP_MOD))
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams from a token array column (empty array
+    when the doc has fewer than ``n`` tokens). Pure array transform — no
+    explode, no window, no shuffle; the explode happens at the caller
+    where the aggregation needs rows."""
+    starts = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1)
+    per document:
+
+    - ``top2gram_frac`` / ``top3gram_frac``: fraction of the doc's
+      characters covered by occurrences of its single most frequent word
+      2-/3-gram (count × gram length / text length).
+    - ``dup5gram_frac``: fraction of characters in *duplicated* 5-grams —
+      every occurrence of any 5-gram that appears ≥2× counts its
+      characters (overlapping occurrences counted multiply, capped at 1).
+
+    High values flag boilerplate / templated / degenerate web text for a
+    training-data filter, complementing quality_score's length/stopword/
+    punctuation arithmetic.
+
+    Scale shape: tokenization is a narrow map; each signal is one
+    explode → groupBy(doc_id, gram) with map-side partial aggregation →
+    per-doc max/sum. The most-frequent gram is picked with a single
+    ``max(struct(count, gram))`` aggregate (ties break to the
+    lexicographically largest gram) — no per-doc window, no
+    SinglePartition. The tokenized base feeds three consumers, so its
+    lineage is cut once.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        id_col,
+        F.greatest(F.length(t), F.lit(1)).alias("_len"),
+        F.split(t, " ").alias("_toks"),
+    ).localCheckpoint(eager=False)
+    out = base.select(id_col, "_len")
+    for n, name in ((2, "top2gram_frac"), (3, "top3gram_frac")):
+        cnt = (
+            base.select(id_col, F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("c"))
+        )
+        top = cnt.groupBy(id_col).agg(F.max(F.struct("c", "gram")).alias("_t"))
+        out = (
+            out.join(top, id_col, "left")
+            .withColumn(
+                name,
+                F.coalesce(
+                    F.col("_t.c") * F.length(F.col("_t.gram")) / F.col("_len"),
+                    F.lit(0.0),
+                ),
+            )
+            .drop("_t")
+        )
+    dup = (
+        base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 5)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.length("gram")).alias("_dup"))
+    )
+    return (
+        out.join(dup, id_col, "left")
+        .withColumn(
+            "dup5gram_frac",
+            F.least(
+                F.coalesce(F.col("_dup") / F.col("_len"), F.lit(0.0)), F.lit(1.0)
+            ),
+        )
+        .drop("_len", "_dup")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full hygiene profile."""
     t = F.col(text_col)

@@ -68,3 +68,78 @@ def test_pointer_jumping_convergence(spark):
     rows = comp.groupBy("component").count().collect()
     assert len(rows) == 1
     assert rows[0]["component"] == 0 and rows[0]["count"] == n
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pagerank_ref(edges, iters, d=0.85):
+    """Driver-side reference of the exact formulation graph.pagerank pins:
+    weighted contributions, dangling mass NOT redistributed."""
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += r[s] * (w / wout[s])
+        r = {v: (1.0 - d) / n + d * contrib[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    from medacy_spark.operators.graph import pagerank
+
+    # weighted digraph with a dangling node (3), a hub (0), and a cycle
+    edges = [
+        (1, 0, 1.0), (2, 0, 2.0), (4, 0, 1.0), (0, 3, 1.0),
+        (4, 5, 3.0), (5, 6, 1.0), (6, 4, 1.0), (2, 5, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, weight="w", iterations=8).collect()
+    }
+    want = _pagerank_ref(edges, iters=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # ranking sanity: the hub (three in-edges) beats a pure source
+    assert got[0] > got[1]
+    # dangling node keeps its floor + inflow; total mass undershoots 1
+    assert sum(got.values()) < 1.0 + 1e-9
+
+
+def test_pagerank_unweighted_star(spark):
+    from medacy_spark.operators.graph import pagerank
+
+    # star: every leaf points at the center; center rank strictly largest,
+    # all leaves identical by symmetry
+    edges = [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=5).collect()}
+    leaf_vals = {round(got[i], 15) for i in range(1, 9)}
+    assert len(leaf_vals) == 1
+    assert got[0] > max(got[i] for i in range(1, 9))
+
+
+def test_pagerank_empty(spark):
+    from medacy_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+
+
+def test_degree_stats(spark):
+    from medacy_spark.operators.graph import degree_stats
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["out_degree"], r["in_degree"])
+        for r in degree_stats(df).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1), 3: (1, 2), 4: (1, 0)}

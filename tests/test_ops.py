@@ -1461,3 +1461,92 @@ def test_jpeg_progressive_equals_baseline_on_same_coefficients():
     prog = jpeg_decode(_enc_progressive_jpeg(w, h, comps, store))
     assert base.shape == prog.shape == (16, 32, 3)
     assert np.array_equal(base, prog)
+
+
+def test_repetition_signals_crafted(spark):
+    from medacy_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" occurs 3x (len 3), text len 11 -> top2 = 9/11;
+            # "a b a" 2x, "b a b" 2x -> top3 tie breaks to lexicographically
+            # larger "b a b" (len 5): 10/11; no repeated 5-gram
+            (1, "a b a b a b"),
+            # every gram unique
+            (2, "one two three four five six seven"),
+            # 5-gram "x y x y x" repeats (positions 1 and 3): dup5 covers
+            # 2 * 9 chars over len 17
+            (3, "x y x y x y x y x"),
+            # shorter than 2 tokens: all signals 0
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            round(r["top2gram_frac"], 9),
+            round(r["top3gram_frac"], 9),
+            round(r["dup5gram_frac"], 9),
+        )
+        for r in repetition_signals(docs).collect()
+    }
+    assert got[1] == (round(9 / 11, 9), round(10 / 11, 9), 0.0)
+    assert got[2][0] == round(7 / 33, 9)  # every 2-gram unique: count 1
+    assert got[2][2] == 0.0
+    # doc 3: "x y" occurs 4x of len 3 over len 17; dup5 grams: "x y x y x"
+    # 3x and "y x y x y" 2x -> (3+2)*9/17 capped at 1.0
+    assert got[3][0] == round(12 / 17, 9)
+    assert got[3][2] == 1.0
+    assert got[4] == (0.0, 0.0, 0.0)
+
+
+def test_ngram_contamination_planted(spark):
+    from medacy_spark.operators.decontam import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "q w e r t y u i o p extra tail words here"),
+            (2, "totally clean document with no overlap at all in it"),
+            (3, "short doc"),
+            # shares the planted 8-gram mid-document
+            (4, "prefix q w e r t y u i o suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q w e r t y u i o")], "bench_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_contaminated"], r["contaminated"]
+        )
+        for r in ngram_contamination(docs, bench, n=8).collect()
+    }
+    # bench has 9 tokens -> two 8-grams: q..i and w..o
+    assert got[1] == (7, 2, True)
+    assert got[2] == (4, 0, False)
+    assert got[3] == (0, 0, False)   # < 8 tokens: no grams at all
+    assert got[4] == (4, 2, True)
+
+
+def test_ngram_contamination_broadcast_bounded(spark):
+    """Same results whether the benchmark gram set is broadcast (below the
+    counted threshold) or joined as a shuffle equi-join (above it) — the
+    bounded-broadcast discipline of graph.canonicalize_triples."""
+    from medacy_spark.operators.decontam import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h i j k{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "bench_id long, text string"
+    )
+    a = ngram_contamination(docs, bench, n=8).orderBy("doc_id").collect()
+    b = (
+        ngram_contamination(docs, bench, n=8, broadcast_max_grams=0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    assert all(r["contaminated"] for r in a)
