@@ -43,6 +43,10 @@ HEADLINE = [
     # added in round 6 (subtract from the total when comparing against
     # r5-and-earlier BENCH JSONs / the committed session-start probe)
     "cooccurrence_ppmi",       # embedding pretraining (window co-occurrence + PPMI)
+    # added in round 7 session 3 (25 queries total from here on)
+    "kg_pagerank",             # iterative KG centrality (6 rounds)
+    "repetition_signals",      # Gopher repetition quality signals
+    "benchmark_decontam",      # n-gram benchmark decontamination
 ]
 
 

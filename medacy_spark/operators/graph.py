@@ -120,6 +120,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 6,
     damping: float = 0.85,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Weighted PageRank over edges(src, dst[, weight]) -> (node, pagerank).
 
@@ -172,16 +173,22 @@ def pagerank(
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum(F.col("pagerank") * F.col("_share")).alias("_in"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
-                    "pagerank"
-                ),
-            )
-            .localCheckpoint()
+        step = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
+                "pagerank"
+            ),
         )
+        if stats is not None:
+            # the observability hook the plan gate reads: the physical
+            # plan of ONE iteration, pre-checkpoint — it must stay
+            # constant-size across iterations (no lineage snowball)
+            stats["last_iter_plan"] = (
+                step._jdf.queryExecution().executedPlan().toString()
+            )
+        ranks = step.localCheckpoint()
+    if stats is not None:
+        stats["n_nodes"] = n
     return ranks
 
 

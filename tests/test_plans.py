@@ -286,3 +286,59 @@ def test_ppmi_single_corpus_pass(spark):
     assert "Window" not in plan           # lead/lag pass never re-run
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan    # vocab-scale marginals broadcast
+
+
+def test_pagerank_iteration_plan_is_constant(spark):
+    """PageRank is iterative — the 100x-scale killers are (a) lineage
+    snowball (plan grows per round until planning itself dominates) and
+    (b) re-derivation of the edge normalization inside the loop. The
+    per-iteration physical plan must read BOTH inputs from checkpoints
+    (ExistingRDD), never re-scan files, contain no cartesian product,
+    and be the SAME SIZE at iteration 8 as at iteration 2."""
+    from medacy_spark.operators.graph import pagerank
+
+    edges = spark.range(500).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
+    )
+    plans = {}
+    for it in (2, 8):
+        stats = {}
+        pagerank(edges, iterations=it, stats=stats).count()
+        plans[it] = stats["last_iter_plan"]
+    for p in plans.values():
+        assert "ExistingRDD" in p
+        assert "FileScan" not in p
+        assert "CartesianProduct" not in p
+        assert "Range" not in p  # the edge lineage is cut, not re-planned
+    # no snowball: identical operator counts regardless of iteration count
+    def shape(p):
+        return (p.count("Exchange"), p.count("Join"), p.count("HashAggregate"))
+    assert shape(plans[2]) == shape(plans[8])
+
+
+def test_decontam_broadcast_is_bounded(spark):
+    """The benchmark gram set is the broadcast side of the contamination
+    join — bounded for real benchmarks, but the hint must still be
+    gated by the counted threshold (an adversarial corpus-sized
+    'benchmark' must degrade to a shuffle equi-join, not a forced
+    broadcast): the term_canon discipline, applied to decontam."""
+    from medacy_spark.operators.decontam import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "bench_id long, text string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" in _plan(
+            ngram_contamination(docs, bench, n=8)
+        )
+        plan_s = _plan(ngram_contamination(docs, bench, n=8, broadcast_max_grams=0))
+        assert "BroadcastHashJoin" not in plan_s
+        assert "BroadcastExchange" not in plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
