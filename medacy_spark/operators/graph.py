@@ -121,6 +121,7 @@ def pagerank(
     iterations: int = 6,
     damping: float = 0.85,
     stats: dict | None = None,
+    materialize_every: int = 8,
 ) -> DataFrame:
     """Weighted PageRank over edges(src, dst[, weight]) -> (node, pagerank).
 
@@ -143,6 +144,28 @@ def pagerank(
     node table.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    spark = edges.sparkSession
+    # AQE wraps checkpointed plans in AdaptiveSparkPlanExec, whose
+    # outputPartitioning reads as Unknown at LogicalRDD capture — which
+    # silently re-inserts a full edge-relation Exchange+Sort into EVERY
+    # iteration (measured: the whole win below evaporates). Plan the
+    # entire computation with AQE off: all relations here are either
+    # checkpoint-partitioned or node-scale, the hub-skewed transpose
+    # shuffle is tamed by map-side combine (not by AQE, which doesn't
+    # split skewed aggregations anyway).
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_inner(
+            edges, src, dst, w, iterations, damping, stats, materialize_every
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _pagerank_inner(
+    edges, src, dst, w, iterations, damping, stats, materialize_every
+) -> DataFrame:
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
@@ -152,6 +175,8 @@ def pagerank(
         e.select(F.col("_s").alias("node"))
         .union(e.select("_d"))
         .distinct()
+        .repartition("node")
+        .sortWithinPartitions("node")
         .localCheckpoint()
     )
     n = nodes.count()
@@ -160,14 +185,23 @@ def pagerank(
     # pre-normalize: each edge carries its share of the source's out-mass,
     # so the per-iteration join never recomputes out-degrees
     outd = e.groupBy("_s").agg(F.sum("_w").alias("_wout"))
+    # Lay the edge relation out for the iterative join ONCE:
+    # Dataset.localCheckpoint preserves the physical plan's output
+    # partitioning AND ordering in the LogicalRDD, so checkpointing
+    # after repartition+sortWithinPartitions on the join key means
+    # every iteration's sort-merge join reads this side with zero
+    # exchange and zero sort — only the node-scale rank side moves.
+    # (Same idea as bucketing, without a table.)
     norm = (
         e.join(outd, "_s")
         .select("_s", "_d", (F.col("_w") / F.col("_wout")).alias("_share"))
+        .repartition("_s")
+        .sortWithinPartitions("_s")
         .localCheckpoint()
     )
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pagerank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             norm.join(ranks.withColumnRenamed("node", "_s"), "_s")
             .groupBy(F.col("_d").alias("node"))
@@ -186,7 +220,14 @@ def pagerank(
             stats["last_iter_plan"] = (
                 step._jdf.queryExecution().executedPlan().toString()
             )
-        ranks = step.localCheckpoint()
+        # lazy checkpoint: marks the lineage cut but defers
+        # materialization, so a block of up to ``materialize_every``
+        # iterations pipelines as ONE Spark action instead of one
+        # barrier job per round. The periodic eager count bounds the
+        # un-materialized plan depth for long runs.
+        ranks = step.localCheckpoint(eager=False)
+        if (it + 1) % materialize_every == 0:
+            ranks.count()
     if stats is not None:
         stats["n_nodes"] = n
     return ranks

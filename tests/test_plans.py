@@ -301,15 +301,26 @@ def test_pagerank_iteration_plan_is_constant(spark):
         F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
     )
     plans = {}
-    for it in (2, 8):
-        stats = {}
-        pagerank(edges, iterations=it, stats=stats).count()
-        plans[it] = stats["last_iter_plan"]
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for it in (2, 8):
+            stats = {}
+            pagerank(edges, iterations=it, stats=stats).count()
+            plans[it] = stats["last_iter_plan"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     for p in plans.values():
         assert "ExistingRDD" in p
         assert "FileScan" not in p
         assert "CartesianProduct" not in p
         assert "Range" not in p  # the edge lineage is cut, not re-planned
+        # the optimal power-iteration shape: checkpoints are created with
+        # AQE off so LogicalRDD keeps the repartition+sortWithinPartitions
+        # layout — the edge relation and the rank vector join with ZERO
+        # exchange and ZERO sort on the big side; the ONLY shuffle per
+        # iteration is the unavoidable groupBy(dst) transpose.
+        assert p.count("Exchange") == 1, p
     # no snowball: identical operator counts regardless of iteration count
     def shape(p):
         return (p.count("Exchange"), p.count("Join"), p.count("HashAggregate"))
