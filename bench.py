@@ -47,6 +47,9 @@ HEADLINE = [
     "kg_pagerank",             # iterative KG centrality (6 rounds)
     "repetition_signals",      # Gopher repetition quality signals
     "benchmark_decontam",      # n-gram benchmark decontamination
+    # added in round 7 session 4 (27 queries total from here on)
+    "events_sessionize",       # gap-based sessionization (one window pass)
+    "purchase_attribution",    # as-of join (union-tagged stream, one shuffle)
 ]
 
 

@@ -709,6 +709,128 @@ def q_events_running_sum(spark, sf):
     return e.select("event_id", "user_id", F.sum("value").over(w).alias("running"))
 
 
+# ---- temporal family (sessionize / as-of join)
+
+_SESS_GAP_US = 21_600 * 1_000_000  # 6 h — mixes singleton and multi-event
+
+
+@q("events_sessionize", f"""
+WITH e AS (SELECT event_id, user_id, ts, value, epoch_us(ts) AS tus FROM events),
+f AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > {_SESS_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new FROM e),
+s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tus) AS BIGINT) AS start_us,
+       CAST(max(tus) AS BIGINT) AS end_us,
+       ROUND(SUM(value), 6) AS sess_value
+FROM s GROUP BY user_id, session_seq
+""")
+def q_events_sessionize(spark, sf):
+    """Gap-based sessionization (operators/events.sessionize): one
+    window pass, integer-microsecond gap arithmetic so the SQL replay
+    is exact. Session aggregates keep the hash stable under partition-
+    order differences (sums rounded on both engines)."""
+    from medacy_spark.operators.events import sessionize
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    s = sessionize(e, key="user_id", ts="ts", seq="event_id",
+                   gap_seconds=_SESS_GAP_US // 1_000_000)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+        F.round(F.sum("value"), 6).alias("sess_value"),
+    )
+
+
+@q("purchase_attribution", """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v0 AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+v AS (SELECT * FROM v0
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       CAST(v.event_id AS BIGINT) AS view_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_age_us,
+       ROUND(v.value, 6) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def q_purchase_attribution(spark, sf):
+    """Backward as-of join (operators/events.asof_join): each purchase
+    matched to the same user's most recent at-or-before view — the
+    union-tagged-stream formulation (ONE shuffle, no range join) vs
+    DuckDB's native ASOF JOIN. The view side is deduped to unique
+    (user_id, ts) in BOTH engines because ASOF leaves equal-ts right
+    ties unspecified; unmatched purchases exercise the left-join nulls."""
+    from medacy_spark.operators.events import asof_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    j = asof_join(p, v, on="user_id", right_payload=["event_id", "value"],
+                  right_seq="event_id")
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.col("event_id_r").alias("view_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_r").cast("timestamp"))).alias("view_age_us"),
+        F.round("value_r", 6).alias("view_value"),
+    )
+
+
+# ---- deterministic sampling family
+
+_HASH_SAMPLE_THR = "40000000000000000000000000000000"  # _hex_threshold(0.25)
+
+
+@q("hash_sample", f"""
+SELECT doc_id, lang FROM documents
+WHERE md5('s1' || CAST(doc_id AS VARCHAR)) < '{_HASH_SAMPLE_THR}'
+""")
+def q_hash_sample(spark, sf):
+    """Content-keyed Bernoulli sampling (operators/sampling.hash_sample):
+    md5-hex string comparison, identical total order in every engine —
+    zero-shuffle, rerun-stable (the property `rand()` lacks)."""
+    from medacy_spark.operators.sampling import _hex_threshold, hash_sample
+
+    assert _hex_threshold(0.25) == _HASH_SAMPLE_THR  # no drift with the SQL
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.25, salt="s1")
+
+
+@q("stratified_sample", """
+SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+FROM (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents)
+WHERE sample_rank <= 20
+""")
+def q_stratified_sample(spark, sf):
+    """Exact per-language quota draw (operators/sampling.stratified_sample):
+    md5-ordered top-k per stratum — deterministic without-replacement
+    sampling for training-mixture balancing."""
+    from medacy_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("lang", "doc_id", "n_chars")
+    return stratified_sample(d, "lang", 20, "doc_id").select(
+        "lang", "sample_rank", "doc_id", "n_chars"
+    )
+
+
 # ---- dedup family
 
 
@@ -3418,6 +3540,8 @@ _PRIORITY = [
     # new in round 7 (no driver record yet)
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
+    "events_sessionize", "purchase_attribution", "hash_sample",
+    "stratified_sample",
     # newest driver record is r4/r5 — rotate in for fresh rows
     "ade_lines", "clinical_mention_counts", "clinical_rule_tokens",
     "clinical_triples", "con_roundtrip", "connected_components",

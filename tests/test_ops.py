@@ -1491,7 +1491,9 @@ def test_repetition_signals_crafted(spark):
         for r in repetition_signals(docs).collect()
     }
     assert got[1] == (round(9 / 11, 9), round(10 / 11, 9), 0.0)
-    assert got[2][0] == round(7 / 33, 9)  # every 2-gram unique: count 1
+    # every 2-gram unique (count 1): tie breaks to the lexicographically
+    # largest gram "two three" (9 chars), same rule the oracle replays
+    assert got[2][0] == round(9 / 33, 9)
     assert got[2][2] == 0.0
     # doc 3: "x y" occurs 4x of len 3 over len 17; dup5 grams: "x y x y x"
     # 3x and "y x y x y" 2x -> (3+2)*9/17 capped at 1.0
@@ -1524,7 +1526,8 @@ def test_ngram_contamination_planted(spark):
     }
     # bench has 9 tokens -> two 8-grams: q..i and w..o
     assert got[1] == (7, 2, True)
-    assert got[2] == (4, 0, False)
+    # doc 2 has 10 tokens -> 3 eight-grams, none contaminated
+    assert got[2] == (3, 0, False)
     assert got[3] == (0, 0, False)   # < 8 tokens: no grams at all
     assert got[4] == (4, 2, True)
 
