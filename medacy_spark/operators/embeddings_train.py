@@ -395,52 +395,64 @@ def train_word_vectors(
     return vocab, ppmi_svd(vocab, counts, dim=dim, alpha=alpha)
 
 
-def _factor_matmul(m: DataFrame, factor: DataFrame, row_col: str, join_col: str) -> DataFrame:
+def _qcols(k: int) -> list[str]:
+    return [f"q{j}" for j in range(k)]
+
+
+def _factor_matmul(m: DataFrame, factor: DataFrame, row_col: str, k: int) -> DataFrame:
     """Distributed sparse(VxV) @ dense(Vxk): ``m(w, c, v)`` joins the
-    k-exploded factor table ``factor(i, j, q)`` on ``join_col`` and
-    sums per (row, j). Pure JVM (join + map-side-combined sum); the
-    intermediate is nnz*k rows — the matmul's actual flop count."""
+    WIDE factor table ``factor(i, q0..q{k-1})`` on the contraction
+    column (m's "c") and sums ``v * q_j`` per output row — k map-side-
+    combinable aggregates over ONE shuffle. The wide layout keeps the
+    join intermediate at nnz ROWS (k doubles each) instead of the
+    exploded nnz*k rows, and lets a preserved-layout checkpoint of m
+    make the join exchange-free on the big side."""
     return (
-        m.join(factor.withColumnRenamed("i", join_col), join_col)
-        .groupBy(F.col(row_col).alias("i"), "j")
-        .agg(F.sum(F.col("v") * F.col("q")).alias("q"))
+        m.join(factor.withColumnRenamed("i", "c"), "c")
+        .groupBy(F.col(row_col).alias("i"))
+        .agg(*[F.sum(F.col("v") * F.col(q)).alias(q) for q in _qcols(k)])
     )
 
 
-def _k_transform(rows: DataFrame, t: np.ndarray, spark) -> DataFrame:
-    """rows(i, j, q) @ t(kxk) -> (i, j, q): the kxk matrix broadcasts as
-    a (l, j, t) relation; per row-block the transform is an equi-join +
-    sum. Driver traffic is k² — never vocab-scale."""
-    k = t.shape[0]
-    tdf = spark.createDataFrame(
-        [(int(l), int(j), float(t[l, j])) for l in range(k) for j in range(t.shape[1])],
-        "l int, j int, t double",
-    )
-    return (
-        rows.withColumnRenamed("j", "l")
-        .join(F.broadcast(tdf), "l")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("q") * F.col("t")).alias("q"))
+def _k_transform(rows: DataFrame, t: np.ndarray) -> DataFrame:
+    """rows(i, q0..) @ t(kxk'): a pure projection — the kxk' matrix is
+    embedded as expression literals, so the transform plans ZERO
+    shuffles and preserves the input's partitioning. Driver traffic is
+    the k² literals — never vocab-scale."""
+    k, k2 = t.shape
+    qs = _qcols(k)
+    return rows.select(
+        "i",
+        *[
+            sum(
+                (F.col(qs[l]) * float(t[l, j]) for l in range(1, k)),
+                F.col(qs[0]) * float(t[0, j]),
+            ).alias(f"q{j}")
+            for j in range(k2)
+        ],
     )
 
 
 def _gram(rows: DataFrame, k: int) -> np.ndarray:
-    """ZᵀZ for a (i, j, q) factor table: self-join on the row key,
-    aggregate per (j, j') — k² driver rows, never vocab-scale."""
-    a = rows.select("i", F.col("j").alias("_ja"), F.col("q").alias("_qa"))
-    b = rows.select("i", F.col("j").alias("_jb"), F.col("q").alias("_qb"))
+    """ZᵀZ for a wide (i, q0..) factor: ONE aggregate pass computing the
+    k(k+1)/2 upper-triangle sums — no self-join, k² driver floats."""
+    qs = _qcols(k)
+    aggs = [
+        F.sum(F.col(qs[a]) * F.col(qs[b])).alias(f"g_{a}_{b}")
+        for a in range(k)
+        for b in range(a, k)
+    ]
+    row = rows.agg(*aggs).collect()[0]
     g = np.zeros((k, k))
-    for r in (
-        a.join(b, "i")
-        .groupBy("_ja", "_jb")
-        .agg(F.sum(F.col("_qa") * F.col("_qb")).alias("g"))
-        .collect()
-    ):
-        g[r["_ja"], r["_jb"]] = r["g"]
+    for a in range(k):
+        for b in range(a, k):
+            v = row[f"g_{a}_{b}"] or 0.0
+            g[a, b] = v
+            g[b, a] = v
     return g
 
 
-def _sym_orth(z: DataFrame, k: int, spark) -> DataFrame:
+def _sym_orth(z: DataFrame, k: int) -> DataFrame:
     """Symmetric (Löwdin) orthonormalization of a distributed Vxk factor:
     Q = Z (ZᵀZ)^(-1/2), computed from the k² Gram on the driver —
     the Cholesky-QR family, stable for the k ≤ ~100 this path targets."""
@@ -448,7 +460,7 @@ def _sym_orth(z: DataFrame, k: int, spark) -> DataFrame:
     evals, evecs = np.linalg.eigh(g)
     evals = np.clip(evals, 1e-12, None)
     t = evecs @ np.diag(evals ** -0.5) @ evecs.T
-    return _k_transform(z, t, spark)
+    return _k_transform(z, t)
 
 
 def train_word_vectors_distributed(
@@ -466,25 +478,44 @@ def train_word_vectors_distributed(
     The driver path materializes a DENSE vocab² count matrix — dead
     beyond ~30-50k vocabulary; here the PPMI matrix stays a distributed
     (word, ctx, ppmi) relation and the driver only ever holds
-    vocab×dim (the init and the one final collect) plus k² Grams per
-    iteration.
+    vocab×dim (the one final collect) plus k² Grams per iteration.
 
-    Per iteration (all JVM-side DataFrame ops): Y = M·Q and Z = Mᵀ·Y via
-    `_factor_matmul` (join + map-side-combined sums), then symmetric
-    orthonormalization from the k²-scale Gram. After ``iters`` rounds
-    the k×k eigendecomposition of (MQ)ᵀ(MQ) yields the singular pairs
-    restricted to the converged subspace; embeddings = U·√S with the
-    SAME column-sign fix and row L2 normalization as the dense
-    `ppmi_svd`, so on a spectrum-separated corpus the two paths agree
-    elementwise (tolerance-gated in test_embeddings_train — float
-    summation order differs across partitionings, so the distributed
-    path is deterministic only up to float addition order; the
-    byte-pinned pmc_word2vec fixture stays on the driver path).
+    Round-7 wide-k rebuild: the factor lives as ONE row per word with k
+    double columns (k ≤ ~100, the codegen-comfortable regime), not the
+    exploded (i, j, q) relation. Per iteration that plans exactly TWO
+    shuffles — the two matmul transposes (`_factor_matmul`, map-side-
+    combined) — because the Gram is a single aggregate pass (no
+    self-join), the k×k transform is a zero-shuffle projection with
+    literal coefficients, and both matrix orientations are
+    localCheckpointed ONCE laid out by their contraction key under an
+    AQE-off scope (checkpoints capture partitioning+ordering only when
+    not wrapped in AdaptiveSparkPlanExec — the pagerank discovery), so
+    the nnz-scale join side never re-exchanges or re-sorts.
 
-    Lineage: the PPMI relation is consumed 2× per iteration × iters —
-    localCheckpointed once; each iteration's factor is checkpointed so
-    plans don't snowball (the connected_components discipline).
+    After ``iters`` rounds the k×k eigendecomposition of (MQ)ᵀ(MQ)
+    yields the singular pairs restricted to the converged subspace;
+    embeddings = U·√S with the SAME column-sign fix and row L2
+    normalization as the dense `ppmi_svd`, so on a spectrum-separated
+    corpus the two paths agree elementwise (tolerance-gated in
+    test_embeddings_train — float summation order differs across
+    partitionings, so the distributed path is deterministic only up to
+    float addition order; the byte-pinned pmc_word2vec fixture stays on
+    the driver path).
     """
+    spark = tokens.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _twvd_inner(
+            tokens, dim, window, alpha, id_cols, order_col, word_col, iters
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _twvd_inner(
+    tokens, dim, window, alpha, id_cols, order_col, word_col, iters
+) -> tuple[list[str], np.ndarray]:
     spark = tokens.sparkSession
     toks = tokens.select(
         *id_cols, order_col, _clean(word_col).alias("_w")
@@ -494,6 +525,7 @@ def train_word_vectors_distributed(
     if v_n == 0:
         return [], np.zeros((0, dim))
     k = min(dim, v_n)
+    qs = _qcols(k)
     vdf = F.broadcast(spark.createDataFrame(
         [(w, i) for i, w in enumerate(vocab)], "_w string, _i long"
     ))
@@ -513,31 +545,50 @@ def train_word_vectors_distributed(
             "n",
         )
     )
-    m = (
+    # both orientations checkpointed ONCE, laid out by the contraction
+    # key: every iteration's matmul join reads them exchange-free
+    m0 = (
         ppmi(cooc_ids, alpha=alpha)
         .filter(F.col("ppmi") > 0)
         .select(F.col("word").alias("w"), F.col("ctx").alias("c"),
                 F.col("ppmi").alias("v"))
-        .localCheckpoint(eager=True)  # consumed 2x per iteration
     )
-    mt = m.select(F.col("c").alias("w"), F.col("w").alias("c"), "v")
+    m = (
+        m0.repartition("c").sortWithinPartitions("c").localCheckpoint(eager=True)
+    )
+    mt = (
+        m.select(F.col("c").alias("w"), F.col("w").alias("c"), "v")
+        .repartition("c").sortWithinPartitions("c").localCheckpoint(eager=True)
+    )
 
     # deterministic RNG-free init (any full-rank-ish matrix works; the
-    # subspace iteration forgets it), orthonormalized on the driver —
-    # vocab×dim, the declared model-scale boundary
-    q0 = np.cos(np.outer(np.arange(1, v_n + 1), np.arange(1, k + 1)))
-    q0, _ = np.linalg.qr(q0)
-    q = spark.createDataFrame(
-        [(int(i), int(j), float(q0[i, j])) for i in range(v_n) for j in range(k)],
-        "i long, j int, q double",
-    ).localCheckpoint(eager=True)
+    # subspace iteration forgets it), generated DISTRIBUTED — the first
+    # orthonormalization below plays the role of the classic driver QR
+    init = spark.range(v_n).select(
+        F.col("id").alias("i"),
+        *[
+            F.cos((F.col("id") + 1).cast("double") * float(j + 1)).alias(f"q{j}")
+            for j in range(k)
+        ],
+    )
+    q = _sym_orth(init, k).localCheckpoint(eager=True)
 
     for _ in range(iters):
-        y = _factor_matmul(m, q, "w", "c")
-        z = _factor_matmul(mt, y, "w", "c").localCheckpoint(eager=True)
-        q = _sym_orth(z, k, spark).localCheckpoint(eager=True)
+        y = _factor_matmul(m, q, "w", k)
+        # ONE checkpoint per round, on z: the Gram and the
+        # orthonormalizing transform both consume z — uncached it would
+        # recompute both matmuls (the never-branch-an-uncached-lineage
+        # rule). The checkpoint is LAZY so the Gram's collect both
+        # materializes z and aggregates it in a single Spark job —
+        # at seconds-scale walls the per-job floor is the whole
+        # scaling story, so each iteration is exactly one job. q needs
+        # no checkpoint: it is a zero-shuffle projection of the z
+        # checkpoint, so the next round's matmul reads it sort-only
+        # with no lineage growth.
+        z = _factor_matmul(mt, y, "w", k).localCheckpoint(eager=False)
+        q = _sym_orth(z, k)
 
-    y = _factor_matmul(m, q, "w", "c").localCheckpoint(eager=True)
+    y = _factor_matmul(m, q, "w", k).localCheckpoint(eager=True)
     g = _gram(y, k)  # (MQ)ᵀ(MQ) = W S² Wᵀ
     evals, w_g = np.linalg.eigh(g)
     order = np.argsort(evals)[::-1]
@@ -546,18 +597,21 @@ def train_word_vectors_distributed(
     # embeddings = U√S = Y W S^(-1/2); zero singular values yield zero
     # columns (matching the dense path's ~0 dimensions up to noise)
     inv_sqrt_s = np.where(s > 1e-12, s ** -0.5, 0.0)
-    e = _k_transform(y, w_g @ np.diag(inv_sqrt_s), spark)
+    e = _k_transform(y, w_g @ np.diag(inv_sqrt_s))
 
     # one model-scale collect: vocab×dim
     vecs = np.zeros((v_n, k))
     for r in e.collect():
-        vecs[r["i"], r["j"]] = r["q"]
+        i = r["i"]
+        for j, qc in enumerate(qs):
+            vecs[i, j] = r[qc]
     flip = np.sign(vecs[np.abs(vecs).argmax(axis=0), np.arange(k)])
     flip[flip == 0] = 1.0
     vecs = vecs * flip
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return vocab, vecs / norms
+
 
 
 def write_word2vec(path: str, vocab: list[str], vecs: np.ndarray) -> None:

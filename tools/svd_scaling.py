@@ -21,6 +21,7 @@ def main() -> None:
     cores = int(sys.argv[1])
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    vocab_n = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000
     sys.path.insert(0, ".")
     from pyspark.sql import functions as F
 
@@ -34,7 +35,7 @@ def main() -> None:
     words = F.transform(
         F.sequence(F.lit(0), F.lit(39)),
         lambda i: F.concat(
-            F.lit("w"), F.pmod(F.xxhash64(d, i), F.lit(2000)).cast("string")
+            F.lit("w"), F.pmod(F.xxhash64(d, i), F.lit(vocab_n)).cast("string")
         ),
     )
     toks = (
@@ -57,6 +58,7 @@ def main() -> None:
         best = min(best, time.monotonic() - t0)
     print(json.dumps({
         "cores": cores, "n_docs": n_docs, "iters": iters,
+        "vocab_param": vocab_n,
         "vocab": len(vocab), "dim": int(vecs.shape[1]),
         "wall_sec": round(best, 2),
     }))
