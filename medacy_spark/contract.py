@@ -831,6 +831,71 @@ def q_stratified_sample(spark, sf):
     )
 
 
+@q("copurchase_triangles", """
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                  greatest(a.l_partkey, b.l_partkey) AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+tri AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
+        FROM o p1 JOIN o p2 ON p2.u = p1.v
+        WHERE EXISTS (SELECT 1 FROM o p3 WHERE p3.u = p1.u AND p3.v = p2.v))
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+""")
+def q_copurchase_triangles(spark, sf):
+    """Degree-oriented triangle counting (graph.triangle_counts,
+    O(m^1.5) bound, no hot-key guard needed — hubs never fan out
+    wedges) over the parts-co-ordered graph: 115k edges / 413k
+    triangles at sf0.01, per-part credit."""
+    from medacy_spark.operators.graph import triangle_counts
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return triangle_counts(e).select("node", "triangles")
+
+
+@q("event_value_quantiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+""")
+def q_event_value_quantiles(spark, sf):
+    """Exact linear-interpolation percentiles per group: Spark's
+    `percentile` (sort-based exact) against DuckDB's quantile_cont —
+    both define p as (1-f)·lower + f·upper on the sorted values, so the
+    parity is arithmetic, not approximate. (The approx path at 100 TB
+    is `approx_percentile`; the exact one is the oracle.)"""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return e.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+            for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90"))
+        ]
+    )
+
+
 # ---- dedup family
 
 
@@ -3541,7 +3606,7 @@ _PRIORITY = [
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
-    "stratified_sample",
+    "stratified_sample", "copurchase_triangles", "event_value_quantiles",
     # newest driver record is r4/r5 — rotate in for fresh rows
     "ade_lines", "clinical_mention_counts", "clinical_rule_tokens",
     "clinical_triples", "con_roundtrip", "connected_components",

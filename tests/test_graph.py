@@ -143,3 +143,77 @@ def test_degree_stats(spark):
         for r in degree_stats(df).collect()
     }
     assert got == {1: (2, 2), 2: (1, 1), 3: (1, 2), 4: (1, 0)}
+
+
+# ---------------------------------------------------------- triangle_counts
+
+
+def test_triangle_counts_k4_and_path(spark):
+    from medacy_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    # K4: 4 triangles, each node on 3 of them
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Hash-random graph vs itertools brute force; also exercises
+    duplicate edges, reversed duplicates, and self-loops (all ignored)."""
+    from itertools import combinations
+
+    from medacy_spark.operators.graph import triangle_counts
+
+    n = 40
+    edges = set()
+    x = 1469598103934665603
+    for i in range(200):
+        x = (x ^ i) * 1099511628211 % (1 << 64)
+        a, b = x % n, (x >> 17) % n
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows = [(a, b) for a, b in edges]
+    # noise the input: reversed dups and a self-loop must not change counts
+    rows += [(b, a) for a, b in list(edges)[:20]] + [(5, 5)]
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b, c in combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(rows, "src long, dst long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_triangle_counts_hub_no_fanout(spark):
+    """Star + one chord: exactly one triangle; the hub's edges orient
+    INTO it (degree orientation), so the wedge relation stays O(m) even
+    though the hub's undirected degree is n-1."""
+    from pyspark.sql import functions as F
+
+    from medacy_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 50)] + [(1, 2)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    stats = {}
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, stats=stats).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+    assert "CartesianProduct" not in stats["plan"]
