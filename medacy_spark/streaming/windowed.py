@@ -47,6 +47,42 @@ def windowed_event_counts(
     )
 
 
+def session_aggregates(
+    stream: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time sessionization with Spark's native ``session_window``
+    (merging windows + watermark state eviction) — the STREAMING
+    counterpart of ``operators/events.sessionize``: the same gap rule
+    over a continuously arriving event stream, with late data handled
+    by the watermark instead of a full re-sort.
+
+    Boundary semantics: session_window extends a session to
+    [start, last_ts + gap) and merges an event that lands strictly
+    inside it, while the batch ``sessionize`` starts a new session when
+    the gap is strictly exceeded — the two differ only for gaps EXACTLY
+    equal to ``gap`` (zero-probability with microsecond event times;
+    the equivalence test in test_streaming_windowed pins the agreement
+    on the corpus)."""
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sess_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            key_col, "n_events", "sess_value",
+        )
+    )
+
+
 STATE_SCHEMA = "total long"
 OUTPUT_SCHEMA = "user_id long, total long"
 

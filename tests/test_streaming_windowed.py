@@ -322,3 +322,46 @@ def test_compact_state_folds_batches(spark, tmp_path):
     _write_batch(spark.createDataFrame([("a", 7)], "k string, n long"), out, 3)
     got2 = {r["k"]: r["n"] for r in merged_counts(spark, out, ("k",)).collect()}
     assert got2 == {"a": 8, "b": 11}  # replay rewrote, never double-counted
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """The native-session_window streaming path and the batch
+    gaps-and-islands sessionize must produce the SAME sessions
+    (per-user start timestamp, event count, value sum) on the corpus —
+    pinning that the two gap semantics agree away from exact-boundary
+    ties (zero-probability with microsecond event times)."""
+    from medacy_spark.operators.events import sessionize
+    from medacy_spark.streaming.windowed import session_aggregates
+
+    src = str(tmp_path / "ev_sess")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        session_aggregates(stream, gap="6 hours")
+        .writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select user_id, cast(session_start as timestamp_ntz) session_start,"
+        " n_events, round(sess_value, 6) sess_value from sess_agg"
+    )
+
+    want = (
+        sessionize(events, gap_seconds=6 * 3600)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sess_value"),
+        )
+        .drop("session_seq")
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
