@@ -879,3 +879,89 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int = 16,
+    base_hash: str = "xxhash64",
+    max_gram_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Cross-document duplicate PASSAGE detection (substring-level dedup,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" at k-gram resolution): maximal shared token runs of at least
+    ``min_tokens`` tokens between document pairs, even when the documents
+    as wholes are nothing alike (syndicated paragraphs, quoted passages,
+    license boilerplate).
+
+    Output: one row per maximal shared run —
+    ``(id_a, id_b, start_a, start_b, n_tokens)`` with id_a < id_b and
+    0-based token offsets.
+
+    Algorithm: positional k-gram hash join + gaps-and-islands.
+    Occurrences of the same k-gram hash in two docs align at token
+    offsets (pos_a, pos_b); a shared run of length L ≥ k produces exactly
+    L−k+1 aligned occurrences on one DIAGONAL (pos_a − pos_b constant)
+    with consecutive pos_a — so maximal runs are the islands of
+    consecutive pos_a per (pair, diagonal), and their token length is
+    island_size + k − 1.
+
+    Scale shape: the positional-gram explode is a narrow map; the join is
+    an equi-join on the 8-byte gram hash (never all-pairs — disjoint docs
+    never meet); the islands window partitions by (id_a, id_b, diag) —
+    per-pair-sized partitions, no SinglePartition. ``max_gram_df`` is the
+    boilerplate guard (same contract as ngram_jaccard_pairs): a gram in
+    more than that many positions corpus-wide is dropped from the join
+    (runs through it split/shorten — detection becomes conservative),
+    logged, never silent. base_hash='md5' makes the whole thing
+    DuckDB-replayable (see _base_hash).
+    """
+    import logging
+
+    from pyspark.sql import Window
+
+    from medacy_spark.operators.textstats import word_ngrams
+
+    toks = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
+    ).select("id", "pos", _base_hash(F.col("gram"), base_hash).alias("gh"))
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .localCheckpoint(eager=False)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "duplicate_passages: dropping %d gram hashes with df > %d "
+                "from the pair join (runs crossing them split or shorten)",
+                n_hot, max_gram_df,
+            )
+        grams = grams.join(F.broadcast(hot.select("gh")), "gh", "left_anti")
+    a = grams.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gh")
+    b = grams.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gh")
+    aligned = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        aligned.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + F.lit(k - 1)).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
+    )
+    return runs

@@ -448,3 +448,78 @@ def materialize_nodes_edges(
         .agg(F.sort_array(F.collect_set("name")).alias("names"))
     )
     return nodes, edges
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) for every node reachable from any
+    seed within ``max_hops`` edge traversals, dist = exact minimum hop
+    count (0 for the seeds themselves).
+
+    The KG neighborhood query: "every entity within k hops of these seed
+    concepts" — the expansion step of subgraph extraction / entity-
+    neighborhood sampling. Expansion is along src→dst; pass a doubled
+    relation for undirected graphs.
+
+    Scale shape (the pagerank/CC recipe): the edge relation is laid out
+    ONCE by the join key under AQE-off and localCheckpointed, so every
+    hop's frontier-expansion join plans zero exchange and zero sort on
+    the edge side — the only per-hop shuffles move frontier-sized data
+    (the expansion's distinct and the visited anti-join). Frontier-level
+    sets never concentrate on one reducer beyond the graph's own degree
+    skew, which the distinct's partial aggregation absorbs. Eager like
+    connected_components (it iterates when called).
+    """
+    spark = edges.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _bfs_inner(edges, seeds, src, dst, node_col, max_hops, stats)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _bfs_inner(edges, seeds, src, dst, node_col, max_hops, stats) -> DataFrame:
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .repartition("a")
+        .sortWithinPartitions("a")
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    hops = 0
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "a")
+            .join(e, "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if not new.take(1):
+            break
+        hops = hop
+        dist = dist.union(new).localCheckpoint()
+        frontier = new.select("node")
+    if stats is not None:
+        stats["hops"] = hops
+    return dist

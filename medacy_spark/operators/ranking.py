@@ -1,0 +1,152 @@
+"""Keyword relevance scoring (TF-IDF / BM25) over a document corpus.
+
+A webtext training-data pipeline scores crawl pages against seed keyword
+sets to route them into domain mixtures (e.g. "medical" pages for a
+clinical-KG corpus — the reference assumes a pre-curated clinical corpus,
+ref `medacy/data/dataset.py`; at crawl scale the curation step IS this
+operator). BM25 (Robertson et al., the Lucene `k1/b` parameterization
+with the +1-smoothed idf) reduces to three aggregates and two tiny joins:
+
+scale shape
+-----------
+- tokenize + doc-length: narrow map, no shuffle.
+- per-(doc, term) tf: the explode is filtered to the query terms BEFORE
+  the shuffle, so only query-term hits move — the groupBy key space is
+  |matched docs| x |terms|, map-side combined.
+- per-term document frequency: re-aggregates the tf relation by term —
+  |terms| distinct keys, partial aggregation collapses it to
+  |terms| x |partitions| rows before the (tiny) exchange.
+- corpus stats (N, avgdl): one single-row aggregate, joined back with a
+  broadcast nested loop (1 row); the per-term df table is broadcast too
+  (bounded by the query vocabulary, genuinely small — the same bounded-
+  broadcast discipline as the gazetteer side of mentions.detect_mentions).
+- nothing here is per-doc-windowed and no relation larger than the hit
+  table is ever shuffled, so the plan survives a 100x corpus scale-up.
+
+The tf/df relations both derive from one exploded scan; the hit table is
+lineage-cut once so the df re-aggregation doesn't re-run the explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """One row per input document: ``(id_col, n_hit_terms, bm25)``.
+
+    ``bm25`` = sum over query terms t present in the doc of
+
+        ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    with dl = doc token count, avgdl = corpus mean token count, and
+    df_t = number of docs containing t. Per-term contributions are
+    rounded to 9 decimals before the final sum so the (order-free)
+    per-doc addition is quantized — the DuckDB oracle replays the exact
+    same parenthesization. Docs matching no term score 0.0 with
+    n_hit_terms = 0 (left join back to the spine).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(id_col, F.size(toks).alias("dl"), toks.alias("_toks"))
+
+    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    hits = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(F.filter(F.col("_toks"), lambda w: F.array_contains(terms, w))).alias(
+                "term"
+            ),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    weight = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    per_doc = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select(id_col, F.round(idf * weight, 9).alias("contrib"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_terms", F.lit(0)).alias("n_hit_terms"),
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        )
+    )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Plain ltc-style TF-IDF relevance: sum over matched query terms of
+    (1 + ln tf) * ln(N / df). Same plan shape as :func:`bm25_scores`."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(id_col, toks.alias("_toks"))
+    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    hits = (
+        base.select(
+            id_col,
+            F.explode(F.filter(F.col("_toks"), lambda w: F.array_contains(terms, w))).alias(
+                "term"
+            ),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    n = base.agg(F.count("*").cast("double").alias("n_docs"))
+    contrib = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * F.log(
+        F.col("n_docs") / F.col("df")
+    )
+    per_doc = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(id_col, F.round(contrib, 9).alias("contrib"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("tfidf"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(id_col, F.coalesce("tfidf", F.lit(0.0)).alias("tfidf"))
+    )
