@@ -31,9 +31,12 @@ def benchmark_ngrams(
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark table: one column ``gram``.
     Entries shorter than ``n`` tokens contribute nothing."""
-    toks = F.split(F.col(text_col), " ")
+    # split hoisted into its own projection — word_ngrams references the
+    # token array per gram position inside a lambda, where an inlined
+    # split(text) would re-evaluate every time (see dedup.word_shingles_arr)
     return (
-        benchmark.select(F.explode(word_ngrams(toks, n)).alias("gram"))
+        benchmark.select(F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
 
@@ -62,8 +65,9 @@ def ngram_contamination(
     """
     bg = benchmark_ngrams(benchmark, n=n, text_col=text_col).localCheckpoint()
     bg_rel = F.broadcast(bg) if bg.count() <= broadcast_max_grams else bg
-    toks = F.split(F.col(text_col), " ")
-    dg = docs.select(id_col, F.explode(word_ngrams(toks, n)).alias("gram"))
+    dg = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("_toks")
+    ).select(id_col, F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"))
     per = (
         dg.join(bg_rel.withColumn("_hit", F.lit(1)), "gram", "left")
         .groupBy(id_col)

@@ -217,9 +217,15 @@ def exact_duplicates(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined) from a space-tokenized text."""
-    words = F.split(text, " ")
+def word_shingles_arr(words: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) from a token-ARRAY column.
+
+    ``words`` must be a bound column (not an inlined split(...)
+    expression): the transform lambda references it once per shingle
+    position and Catalyst does not common-subexpression-eliminate across
+    lambda scopes, so an inlined split re-tokenizes the text O(len)
+    times — measured 2.8× slower on the signature pass at sf0.1
+    (BENCH.md "lambda-scope CSE")."""
     k = F.size(words) - (n - 1)
     return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
         F.transform(
@@ -227,6 +233,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         )
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) from a space-tokenized text.
+    Prefer word_shingles_arr over a materialized token array in operator
+    hot paths (see its docstring)."""
+    return word_shingles_arr(F.split(text, " "), n)
 
 
 def minhash_signature_table(
@@ -245,9 +258,14 @@ def minhash_signature_table(
     map-side partial aggregation collapses each doc's shingles before
     the exchange, so the shuffle carries one row per doc.
     """
+    # hoist the split into its own projection: expression references
+    # inside a transform lambda are NOT common-subexpression-eliminated,
+    # so an inlined split(text) re-evaluates per shingle position —
+    # measured 2.05 s → 0.73 s for the signature pass at sf0.1 (BENCH.md)
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
+        "id", F.explode(word_shingles_arr(F.col("_toks"), shingle_n)).alias("s")
     )
     aggs = [
         F.min(perm_hash(F.col("s"), i, base_hash)).alias(f"m{i}")
@@ -392,10 +410,12 @@ def simhash64_table(
     """
     n_bits = simhash_bits(base_hash)
     h = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
+        "id",
         F.explode(
             F.transform(
-                word_shingles(F.col(text_col), shingle_n),
+                word_shingles_arr(F.col("_toks"), shingle_n),
                 lambda s: _base_hash(s, base_hash),
             )
         ).alias("h"),
@@ -843,8 +863,10 @@ def ngram_jaccard_pairs(
     import logging
 
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(word_shingles_arr(F.col("_toks"), n))).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
@@ -925,10 +947,16 @@ def duplicate_passages(
 
     from medacy_spark.operators.textstats import word_ngrams
 
-    toks = F.split(F.col(text_col), " ")
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
+    # materialize the token array in its own projection FIRST: word_ngrams
+    # references its tokens argument O(k) times per gram position, and an
+    # inlined split(text) expression is re-evaluated at every reference
+    # inside the transform lambda (no CSE across lambda scopes) — measured
+    # 7.89 s → 0.52 s for the k=8 gram pass at sf0.1 (BENCH.md)
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    grams = toked.select(
+        "id", F.posexplode(word_ngrams(F.col("_toks"), k)).alias("pos", "gram")
     ).select("id", "pos", _base_hash(F.col("gram"), base_hash).alias("gh"))
     if max_gram_df is not None:
         hot = (

@@ -487,11 +487,15 @@ def bfs_distances(
 
 
 def _bfs_inner(edges, seeds, src, dst, node_col, max_hops, stats) -> DataFrame:
+    # one exchange, not two: partitioning by `a` alone already satisfies
+    # the (a, b) dedup's clustered distribution, so the dropDuplicates
+    # runs in-partition after the layout repartition (distinct-then-
+    # repartition would shuffle the edge relation twice)
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
         .repartition("a")
+        .dropDuplicates(["a", "b"])
         .sortWithinPartitions("a")
         .localCheckpoint()
     )
