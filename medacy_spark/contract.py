@@ -3855,6 +3855,95 @@ def q_duplicate_passages(spark, sf):
     ).orderBy("id_a", "id_b", "start_a", "start_b")
 
 
+@q("boilerplate_removal", """
+WITH m AS (
+  -- coalesce: DuckDB array_to_string of an EMPTY slice is NULL (not ''),
+  -- and || propagates it; Spark's array_join gives '' for the same case
+  SELECT doc_id,
+    coalesce(array_to_string(list_slice(string_split(text, ' '), 1, 6), ' '), '')
+    || chr(10) || CASE
+         WHEN doc_id % 6 = 0 THEN '  subscribe to our newsletter today'
+         WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+         ELSE coalesce(array_to_string(list_slice(string_split(text, ' '), 7, 11), ' '), '')
+       END
+    || chr(10) || coalesce(array_to_string(list_slice(string_split(text, ' '), 12, 17), ' '), '')
+    || chr(10) || 'ok'
+    || chr(10) || CASE
+         WHEN doc_id % 5 = 1 THEN 'copyright acme corp all rights reserved'
+         ELSE coalesce(array_to_string(list_slice(string_split(text, ' '), 18, 24), ' '), '')
+       END AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM m),
+boiler AS (
+  SELECT trim(line) AS t FROM lines
+  WHERE len(trim(line)) >= 8
+  GROUP BY trim(line)
+  HAVING count(DISTINCT doc_id) >= 40),
+tagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         CASE WHEN b.t IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM lines l LEFT JOIN boiler b
+    ON len(trim(l.line)) >= 8 AND trim(l.line) = b.t),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(hit) AS n_boiler,
+         coalesce(string_agg(CASE WHEN hit = 0 THEN line END,
+                             chr(10) ORDER BY pos), '') AS clean_text,
+         sum(len(line)) + count(*) - 1 AS orig_len
+  FROM tagged GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       clean_text,
+       CAST(orig_len - len(clean_text) AS BIGINT) AS chars_removed,
+       round(CASE WHEN orig_len > 0
+             THEN CAST(orig_len - len(clean_text) AS DOUBLE) / orig_len
+             ELSE 0.0 END, 9) AS frac_chars_removed
+FROM agg ORDER BY doc_id
+""")
+def q_boilerplate_removal(spark, sf):
+    """CCNet-style corpus-frequent line removal
+    (boilerplate.remove_boilerplate_lines, exact-string portable mode)
+    over multi-line docs synthesized deterministically from the corpus:
+    a banner line planted on doc_id % 3 = 0 (space-padded on % 6 = 0 to
+    exercise the trimmed key), a footer on % 5 = 1, and an 'ok' line on
+    EVERY doc that stays below min_line_chars and must survive."""
+    from medacy_spark.operators.boilerplate import remove_boilerplate_lines
+
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    banner = "subscribe to our newsletter today"
+    footer = "copyright acme corp all rights reserved"
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(toks, 1, 6), " "),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("  " + banner))
+            .when(F.col("doc_id") % 3 == 0, F.lit(banner))
+            .otherwise(F.array_join(F.slice(toks, 7, 5), " ")),
+            F.array_join(F.slice(toks, 12, 6), " "),
+            F.lit("ok"),
+            F.when(F.col("doc_id") % 5 == 1, F.lit(footer))
+            .otherwise(F.array_join(F.slice(toks, 18, 7), " ")),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(m, min_docs=40, min_line_chars=8, key_hash=None)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        "clean_text",
+        "chars_removed",
+        F.round("frac_chars_removed", 9).alias("frac_chars_removed"),
+    ).orderBy("doc_id")
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -3865,7 +3954,7 @@ def q_duplicate_passages(spark, sf):
 _PRIORITY = [
     # new in round 7 (no driver record yet)
     "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
-    "duplicate_passages",
+    "duplicate_passages", "boilerplate_removal",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
