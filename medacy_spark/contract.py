@@ -3944,6 +3944,47 @@ def q_boilerplate_removal(spark, sf):
     ).orderBy("doc_id")
 
 
+# ---- sequence packing (GPT-style concat-and-chunk): the packing map
+# replayed in SQL — exclusive prefix sum over the EOS-separated token
+# stream, then each doc exploded to the seq windows its span overlaps.
+
+
+@q("sequence_packing", """
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+ofs AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok + 1) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS o
+  FROM base),
+ex AS (
+  SELECT doc_id, n_tok, o,
+         UNNEST(generate_series(o // 64, (o + n_tok - 1) // 64)) AS seq_id
+  FROM ofs WHERE n_tok > 0)
+SELECT seq_id, doc_id,
+       CAST(GREATEST(o, seq_id * 64) - seq_id * 64 AS BIGINT) AS start_in_seq,
+       CAST(GREATEST(o, seq_id * 64) - o AS BIGINT) AS start_in_doc,
+       CAST(LEAST(o + n_tok, (seq_id + 1) * 64)
+            - GREATEST(o, seq_id * 64) AS BIGINT) AS n_tokens
+FROM ex
+ORDER BY seq_id, doc_id
+""")
+def q_sequence_packing(spark, sf):
+    """LLM-pretraining sequence packing (packing.pack_sequences): docs in
+    doc_id order concatenated with an EOS slot between them, sliced into
+    64-token windows; one row per (seq, doc) overlap. bucket_width=100
+    forces the two-level distributed prefix sum (5 buckets at sf0.01) so
+    the contract run exercises the scale path, not the trivial
+    one-bucket case."""
+    from medacy_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf), 64, bucket_width=100
+    ).orderBy("seq_id", "doc_id")
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -3954,7 +3995,7 @@ def q_boilerplate_removal(spark, sf):
 _PRIORITY = [
     # new in round 7 (no driver record yet)
     "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
-    "duplicate_passages", "boilerplate_removal",
+    "duplicate_passages", "boilerplate_removal", "sequence_packing",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
