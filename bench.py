@@ -50,6 +50,8 @@ HEADLINE = [
     # added in round 7 session 4 (27 queries total from here on)
     "events_sessionize",       # gap-based sessionization (one window pass)
     "purchase_attribution",    # as-of join (union-tagged stream, one shuffle)
+    # added in round 7 session 7 (28 queries total from here on)
+    "sequence_packing",        # two-level distributed prefix sum + chunk map
 ]
 
 

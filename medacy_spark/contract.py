@@ -1834,7 +1834,10 @@ _PR_ITERS = 6
 _PR_DAMPING = 0.85
 
 
-def _pagerank_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+def _pagerank_tail_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    """The iteration chain + final select, given an ``ed(src_id, dst_id,
+    weight)`` CTE in scope — shared by every pagerank oracle so the
+    float parenthesization can never drift between graph bases."""
     steps = []
     for k in range(1, iters + 1):
         steps.append(f"""pr{k} AS (
@@ -1847,11 +1850,7 @@ def _pagerank_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
     JOIN outd o ON ed.src_id = o.src_id
     GROUP BY ed.dst_id) c ON nd.node = c.node)""")
     chain = ",\n".join(steps)
-    return f"""{_kg_e_base()},
-ed AS (
-  SELECT src_id, dst_id, CAST(count(*) AS DOUBLE) AS weight
-  FROM e GROUP BY src_id, dst_id),
-nodes AS (SELECT src_id AS node FROM ed UNION SELECT dst_id FROM ed),
+    return f"""nodes AS (SELECT src_id AS node FROM ed UNION SELECT dst_id FROM ed),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 outd AS (SELECT src_id, sum(weight) AS wout FROM ed GROUP BY src_id),
 pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rnk FROM nodes),
@@ -1859,6 +1858,14 @@ pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rnk FROM nodes),
 SELECT node, round(rnk, 9) AS pagerank
 FROM pr{iters} ORDER BY node
 """
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    return f"""{_kg_e_base()},
+ed AS (
+  SELECT src_id, dst_id, CAST(count(*) AS DOUBLE) AS weight
+  FROM e GROUP BY src_id, dst_id),
+{_pagerank_tail_sql(iters, d)}"""
 
 
 @q("kg_pagerank", _pagerank_sql())
@@ -3985,6 +3992,154 @@ def q_sequence_packing(spark, sf):
     ).orderBy("seq_id", "doc_id")
 
 
+# ---- hyperlink extraction + host-level web graph: anchors synthesized
+# deterministically from the corpus (absolute / root-relative /
+# protocol-relative / bare-relative / mailto / fragment-only, attribute
+# noise included), extracted and resolved by operators/weblinks.py, the
+# SQL replaying the identical regex + CASE resolution. The synthesized
+# pages are all https, so the oracle's scheme extraction and the
+# operator's parse_url(PROTOCOL) agree by construction.
+
+_WEB_LINKS_CTES = """
+WITH w AS (
+  SELECT 'https://' || source || '.example.com/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<p>' || text || '</p>'
+         || '<a href="https://src' || CAST((doc_id*7+13)%20 AS VARCHAR)
+            || '.example.com/page/' || CAST((doc_id*7+13)%1000 AS VARCHAR)
+            || '">x</a>'
+         || '<a class="nav" href="/page/' || CAST((doc_id*3+1)%1000 AS VARCHAR)
+            || '">y</a>'
+         || CASE WHEN doc_id%3=0 THEN
+              '<a href="//src' || CAST((doc_id*11+5)%20 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id%100 AS VARCHAR) || '">z</a>'
+            ELSE '' END
+         || CASE WHEN doc_id%5=1 THEN
+              '<a href="rel/' || CAST(doc_id%50 AS VARCHAR) || '">w</a>'
+            ELSE '' END
+         || CASE WHEN doc_id%7=2 THEN
+              '<a href="mailto:ops@example.com">m</a>' ELSE '' END
+         || '<a href="#top">t</a>'
+         || CASE WHEN doc_id%2=0 THEN
+              '<a href="https://src' || CAST(doc_id%20 AS VARCHAR)
+              || '.example.com/page/' || CAST((doc_id*13+7)%1000 AS VARCHAR)
+              || '#frag">f</a>'
+            ELSE '' END AS html
+  FROM documents),
+lx AS (
+  SELECT url,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS src_host,
+         UNNEST(regexp_extract_all(html, '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+  FROM w),
+rs AS (
+  SELECT url, src_host,
+         regexp_replace(
+           CASE WHEN regexp_matches(href, '^https?://') THEN href
+                WHEN href LIKE '//%' THEN scheme || ':' || href
+                WHEN href LIKE '/%' THEN scheme || '://' || src_host || href
+                ELSE scheme || '://' || src_host || '/' || href END,
+           '#.*$', '') AS link_url
+  FROM lx
+  WHERE NOT (href = '' OR href LIKE '#%' OR href LIKE 'mailto:%'
+             OR href LIKE 'javascript:%')),
+links AS (
+  SELECT url, src_host, link_url,
+         lower(regexp_extract(link_url, '^[a-z]+://([^/]+)', 1)) AS dst_host
+  FROM rs)"""
+
+
+def _web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, html) pages synthesized deterministically from documents —
+    the Spark twin of _WEB_LINKS_CTES' ``w``."""
+    i = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    a = F.concat(
+        F.lit('<a href="https://src'), s((i * 7 + 13) % 20),
+        F.lit(".example.com/page/"), s((i * 7 + 13) % 1000), F.lit('">x</a>'),
+    )
+    b = F.concat(
+        F.lit('<a class="nav" href="/page/'), s((i * 3 + 1) % 1000),
+        F.lit('">y</a>'),
+    )
+    c = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit('<a href="//src'), s((i * 11 + 5) % 20),
+            F.lit(".example.com/p/"), s(i % 100), F.lit('">z</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    rel = F.when(
+        i % 5 == 1,
+        F.concat(F.lit('<a href="rel/'), s(i % 50), F.lit('">w</a>')),
+    ).otherwise(F.lit(""))
+    mail = F.when(
+        i % 7 == 2, F.lit('<a href="mailto:ops@example.com">m</a>')
+    ).otherwise(F.lit(""))
+    frag = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('<a href="https://src'), s(i % 20),
+            F.lit(".example.com/page/"), s((i * 13 + 7) % 1000),
+            F.lit('#frag">f</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/page/"), s(i)
+        ).alias("url"),
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            a, b, c, rel, mail, F.lit('<a href="#top">t</a>'), frag,
+        ).alias("html"),
+    )
+
+
+@q("host_link_graph", _WEB_LINKS_CTES + """
+SELECT src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_src_pages,
+       src_host = dst_host AS is_internal
+FROM links GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+""")
+def q_host_link_graph(spark, sf):
+    """Anchor extraction + resolution (weblinks.extract_links) and the
+    host→host rollup (weblinks.host_link_graph) over synthesized pages;
+    mailto/fragment-only anchors dropped, fragments stripped, relative
+    forms resolved against the page URL."""
+    from medacy_spark.operators.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_web_pages(spark, sf)))
+    return g.orderBy("src_host", "dst_host")
+
+
+@q(
+    "host_pagerank",
+    _WEB_LINKS_CTES
+    + """,
+ed AS (
+  SELECT src_host AS src_id, dst_host AS dst_id,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM links WHERE src_host <> dst_host GROUP BY src_id, dst_id),
+"""
+    + _pagerank_tail_sql(),
+)
+def q_host_pagerank(spark, sf):
+    """Host centrality (weblinks.host_pagerank): PageRank over the
+    cross-host link graph, link-count weighted — the crawl-quality
+    weighting a webtext pipeline derives from its own link structure.
+    Same iteration arithmetic as kg_pagerank (shared oracle tail)."""
+    from medacy_spark.operators.weblinks import extract_links, host_pagerank
+
+    pr = host_pagerank(extract_links(_web_pages(spark, sf)))
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank")).orderBy(
+        "node"
+    )
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -3996,6 +4151,7 @@ _PRIORITY = [
     # new in round 7 (no driver record yet)
     "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
+    "host_link_graph", "host_pagerank",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",

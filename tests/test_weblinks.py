@@ -1,0 +1,102 @@
+"""Hyperlink extraction + host graph (operators/weblinks.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medacy_spark.operators.weblinks import (
+    extract_links,
+    host_link_graph,
+    host_pagerank,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, ["url", "html"])
+
+
+def test_resolution_forms(spark):
+    html = (
+        '<a href="https://other.net/a">1</a>'
+        '<a href="//cdn.net/lib.js">2</a>'
+        '<a class="nav" id="n" href="/about">3</a>'
+        '<a href="docs/intro">4</a>'
+        '<a href="https://x.net/p#sec">5</a>'
+    )
+    rows = extract_links(
+        _pages(spark, [("https://www.site.com/page/1", html)])
+    ).orderBy("href").collect()
+    got = {r["href"]: (r["link_url"], r["dst_host"]) for r in rows}
+    assert got == {
+        "https://other.net/a": ("https://other.net/a", "other.net"),
+        "//cdn.net/lib.js": ("https://cdn.net/lib.js", "cdn.net"),
+        "/about": ("https://www.site.com/about", "www.site.com"),
+        "docs/intro": ("https://www.site.com/docs/intro", "www.site.com"),
+        "https://x.net/p#sec": ("https://x.net/p", "x.net"),
+    }
+    assert all(r["src_host"] == "www.site.com" for r in rows)
+
+
+def test_non_navigational_and_empty(spark):
+    html = (
+        '<a href="#top">t</a><a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a><a href="">e</a>'
+        "<p>no anchors here</p>"
+    )
+    assert extract_links(_pages(spark, [("https://h.com/", html)])).count() == 0
+    # doc with no anchors at all emits nothing (explode of empty array)
+    assert extract_links(_pages(spark, [("https://h.com/", "<p>x</p>")])).count() == 0
+
+
+def test_host_case_and_scheme_preserved(spark):
+    rows = extract_links(
+        _pages(spark, [("http://WWW.Site.COM/p", '<a href="/a">x</a>')])
+    ).collect()
+    assert rows[0]["src_host"] == "www.site.com"
+    # resolution uses the page's own scheme, not a hardcoded https
+    assert rows[0]["link_url"] == "http://www.site.com/a"
+
+
+def test_host_link_graph_rollup(spark):
+    pages = _pages(
+        spark,
+        [
+            ("https://a.com/1", '<a href="https://b.com/x">1</a><a href="https://b.com/y">2</a>'),
+            ("https://a.com/2", '<a href="https://b.com/x">3</a><a href="/self">4</a>'),
+            ("https://b.com/1", '<a href="https://a.com/z">5</a>'),
+        ],
+    )
+    g = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"], r["is_internal"])
+        for r in host_link_graph(extract_links(pages)).collect()
+    }
+    assert g == {
+        ("a.com", "b.com"): (3, 2, False),
+        ("a.com", "a.com"): (1, 1, True),
+        ("b.com", "a.com"): (1, 1, False),
+    }
+
+
+def test_host_pagerank_sink_ranks_highest(spark):
+    # star: 4 hosts all link to hub.com; hub links back to one
+    rows = [
+        (f"https://s{i}.com/p", '<a href="https://hub.com/x">h</a>') for i in range(4)
+    ] + [("https://hub.com/p", '<a href="https://s0.com/b">b</a>')]
+    pr = {
+        r["node"]: r["pagerank"]
+        for r in host_pagerank(extract_links(_pages(spark, rows))).collect()
+    }
+    assert len(pr) == 5
+    # the hub↔s0 pair holds the link mass (the graph is near-bipartite so
+    # finite power iterations leave it on one side of the 2-cycle — which
+    # side depends on the parity of `iterations`, so assert the pair)
+    assert set(sorted(pr, key=pr.get)[-2:]) == {"hub.com", "s0.com"}
+    assert pr["s0.com"] > pr["s1.com"]  # gets hub's backlink mass
+    assert abs(pr["s1.com"] - pr["s3.com"]) < 1e-12
+
+
+def test_extraction_plan_is_shuffle_free(spark):
+    pages = _pages(spark, [("https://a.com/1", '<a href="/x">1</a>')])
+    plan = extract_links(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
