@@ -4140,6 +4140,72 @@ def q_host_pagerank(spark, sf):
     )
 
 
+# ---- n-gram LM perplexity (CCNet-style quality filter): bigram add-k
+# LM trained on the corpus, scored against a perturbed copy (an unseen
+# token appended on doc_id % 10 = 0 exercises the OOV/unseen-gram path
+# in BOTH engines). Identical parenthesization: p = (c + k)/(c_ctx +
+# k·V), mean log10, perplexity = 10^(-mean); floats rounded 9 on both.
+
+
+@q("lm_perplexity", """
+WITH tr AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+gc AS (
+  SELECT t1.word AS ctx, t2.word AS w, count(*) AS c
+  FROM tr t1 JOIN tr t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY ctx, w),
+cc AS (SELECT ctx, sum(c) AS c_ctx FROM gc GROUP BY ctx),
+vv AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM tr),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN lower(text) || ' zzunk'
+              ELSE lower(text) END AS lt
+  FROM documents),
+st AS (
+  SELECT doc_id,
+         unnest(string_split(lt, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(lt, ' ')))) AS pos
+  FROM sc),
+sg AS (
+  SELECT s1.doc_id, s1.word AS ctx, s2.word AS w
+  FROM st s1 JOIN st s2 ON s1.doc_id = s2.doc_id AND s2.pos = s1.pos + 1),
+pj AS (
+  SELECT sg.doc_id,
+         (CAST(coalesce(gc.c, 0) AS DOUBLE) + 0.1)
+           / (CAST(coalesce(cc.c_ctx, 0) AS DOUBLE) + 0.1 * vv.v) AS p
+  FROM sg LEFT JOIN gc ON sg.ctx = gc.ctx AND sg.w = gc.w
+          LEFT JOIN cc ON sg.ctx = cc.ctx
+          CROSS JOIN vv)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(avg(log10(p)), 9) AS avg_logp,
+       round(pow(10.0, -avg(log10(p))), 9) AS perplexity
+FROM pj GROUP BY doc_id ORDER BY doc_id
+""")
+def q_lm_perplexity(spark, sf):
+    """Bigram LM (lm.train_ngram_lm, k=0.1) trained on the corpus;
+    lm.score_perplexity over the zzunk-perturbed copy."""
+    from medacy_spark.operators.lm import score_perplexity, train_ngram_lm
+
+    d = _docs(spark, sf)
+    model = train_ngram_lm(d, n=2, k=0.1)
+    scored_input = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" zzunk"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = score_perplexity(scored_input, model)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("avg_logp", 9).alias("avg_logp"),
+        F.round("perplexity", 9).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -4151,7 +4217,7 @@ _PRIORITY = [
     # new in round 7 (no driver record yet)
     "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
-    "host_link_graph", "host_pagerank",
+    "host_link_graph", "host_pagerank", "lm_perplexity",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
