@@ -4000,14 +4000,14 @@ def q_sequence_packing(spark, sf):
 # pages are all https, so the oracle's scheme extraction and the
 # operator's parse_url(PROTOCOL) agree by construction.
 
-_WEB_LINKS_CTES = """
+_WEB_W_CTE = """
 WITH w AS (
   SELECT 'https://' || source || '.example.com/page/'
            || CAST(doc_id AS VARCHAR) AS url,
          '<p>' || text || '</p>'
          || '<a href="https://src' || CAST((doc_id*7+13)%20 AS VARCHAR)
             || '.example.com/page/' || CAST((doc_id*7+13)%1000 AS VARCHAR)
-            || '">x</a>'
+            || '">' || string_split(text, ' ')[1] || '</a>'
          || '<a class="nav" href="/page/' || CAST((doc_id*3+1)%1000 AS VARCHAR)
             || '">y</a>'
          || CASE WHEN doc_id%3=0 THEN
@@ -4023,9 +4023,12 @@ WITH w AS (
          || CASE WHEN doc_id%2=0 THEN
               '<a href="https://src' || CAST(doc_id%20 AS VARCHAR)
               || '.example.com/page/' || CAST((doc_id*13+7)%1000 AS VARCHAR)
-              || '#frag">f</a>'
+              || '#frag"> ' || string_split(text, ' ')[len(string_split(text, ' '))]
+              || ' </a>'
             ELSE '' END AS html
-  FROM documents),
+  FROM documents)"""
+
+_WEB_LINKS_CTES = _WEB_W_CTE + """,
 lx AS (
   SELECT url,
          regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
@@ -4059,7 +4062,8 @@ def _web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = F.concat(
         F.lit('<a href="https://src'), s((i * 7 + 13) % 20),
-        F.lit(".example.com/page/"), s((i * 7 + 13) % 1000), F.lit('">x</a>'),
+        F.lit(".example.com/page/"), s((i * 7 + 13) % 1000), F.lit('">'),
+        F.element_at(F.split(F.col("text"), " "), 1), F.lit("</a>"),
     )
     b = F.concat(
         F.lit('<a class="nav" href="/page/'), s((i * 3 + 1) % 1000),
@@ -4084,7 +4088,8 @@ def _web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('<a href="https://src'), s(i % 20),
             F.lit(".example.com/page/"), s((i * 13 + 7) % 1000),
-            F.lit('#frag">f</a>'),
+            F.lit('#frag"> '),
+            F.element_at(F.split(F.col("text"), " "), -1), F.lit(" </a>"),
         ),
     ).otherwise(F.lit(""))
     return _docs(spark, sf_dir).select(
@@ -4137,6 +4142,118 @@ def q_host_pagerank(spark, sf):
     pr = host_pagerank(extract_links(_web_pages(spark, sf)))
     return pr.select("node", F.round("pagerank", 9).alias("pagerank")).orderBy(
         "node"
+    )
+
+
+# ---- anchor-text alias table: the KG alias source — what the web
+# calls a page names the entity behind it. Anchors carry corpus words
+# (first/last token) so the alias table is corpus-derived, not
+# constant. Same resolution chain as host_link_graph; the two parallel
+# regexp_extract_all scans (group 1 / group 2) visit identical match
+# sites, so the zipped arrays align in both engines.
+
+
+@q("anchor_alias_table", _WEB_W_CTE + r""",
+ax0 AS (
+  SELECT url,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS src_host,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS rawanchor
+  FROM w),
+ax AS (
+  SELECT url, src_host, trim(rawanchor) AS anchor,
+         regexp_replace(
+           CASE WHEN regexp_matches(href, '^https?://') THEN href
+                WHEN href LIKE '//%' THEN scheme || ':' || href
+                WHEN href LIKE '/%' THEN scheme || '://' || src_host || href
+                ELSE scheme || '://' || src_host || '/' || href END,
+           '#.*$', '') AS link_url
+  FROM ax0
+  WHERE NOT (href = '' OR href LIKE '#%' OR href LIKE 'mailto:%'
+             OR href LIKE 'javascript:%'))
+SELECT link_url, anchor,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+FROM ax WHERE anchor <> ''
+GROUP BY link_url, anchor ORDER BY link_url, anchor
+""")
+def q_anchor_alias_table(spark, sf):
+    """weblinks.extract_anchor_texts + anchor_alias_table over the
+    synthesized pages — (target URL, surface form) → popularity."""
+    from medacy_spark.operators.weblinks import (
+        anchor_alias_table,
+        extract_anchor_texts,
+    )
+
+    t = anchor_alias_table(extract_anchor_texts(_web_pages(spark, sf)))
+    return t.orderBy("link_url", "anchor")
+
+
+# ---- URL canonicalization + URL-level dedup: fragment / case /
+# default-port / tracking-param / trailing-junk variants of the same
+# page collapse to one canonical form. The oracle replays each
+# regexp_replace pass verbatim (RE2-compatible, no lookaround;
+# pass-ordered by design, not URL-parsed).
+
+
+@q("url_canonical", r"""
+WITH mu AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id%3=0 THEN upper(source) || '.EXAMPLE.COM'
+                 ELSE source || '.example.com' END
+         || CASE WHEN doc_id%4=0 THEN ':443' ELSE '' END
+         || '/page/' || CAST(doc_id%50 AS VARCHAR)
+         || CASE WHEN doc_id%7=0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id%5=0 THEN '?utm_source=feed&id=' || CAST(doc_id%50 AS VARCHAR)
+                 WHEN doc_id%5=1 THEN '?id=' || CAST(doc_id%50 AS VARCHAR)
+                 WHEN doc_id%5=2 THEN '?utm_campaign=x'
+                 ELSE '' END
+         || CASE WHEN doc_id%2=0 THEN '#sec' ELSE '' END AS u
+  FROM documents),
+c1 AS (SELECT u, regexp_replace(u, '#.*$', '', 'g') AS s FROM mu),
+c2 AS (SELECT u, lower(regexp_extract(s, '^([^/]+//[^/?#]*)', 1))
+              || regexp_replace(s, '^[^/]+//[^/?#]*', '') AS s FROM c1),
+c3 AS (SELECT u, regexp_replace(regexp_replace(s,
+         '^(https://[^/:?#]+):443([/?].*)?$', '\1\2'),
+         '^(http://[^/:?#]+):80([/?].*)?$', '\1\2') AS s FROM c2),
+c4 AS (SELECT u, regexp_replace(s,
+         '(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&?', '', 'g') AS s FROM c3),
+c5 AS (SELECT u, regexp_replace(regexp_replace(s, '[?&]+$', ''),
+         '/$', '') AS canonical_url FROM c4)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_distinct_raw
+FROM c5 GROUP BY canonical_url ORDER BY canonical_url
+""")
+def q_url_canonical(spark, sf):
+    """weblinks.canonical_url + url_variants over messy URLs synthesized
+    deterministically (case/port/tracking/fragment/trailing-slash
+    variants; doc_id % 50 page ids force real variant groups)."""
+    from medacy_spark.operators.weblinks import url_variants
+
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    m = i % 50
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            i % 3 == 0, F.concat(F.upper(F.col("source")), F.lit(".EXAMPLE.COM"))
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), s(m),
+        F.when(i % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(F.lit("?utm_source=feed&id="), s(m)))
+        .when(i % 5 == 1, F.concat(F.lit("?id="), s(m)))
+        .when(i % 5 == 2, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_variants(_docs(spark, sf).select(url.alias("url"))).orderBy(
+        "canonical_url"
     )
 
 
@@ -4218,6 +4335,7 @@ _PRIORITY = [
     "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
     "host_link_graph", "host_pagerank", "lm_perplexity",
+    "anchor_alias_table", "url_canonical",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",

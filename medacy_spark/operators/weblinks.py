@@ -43,6 +43,12 @@ from medacy_spark.operators.webstats import url_host
 # the DuckDB oracle replays it verbatim)
 HREF_PATTERN = r'<a\s[^>]*href="([^"]*)"'
 
+# href + inner text in one pattern: group 1 = href, group 2 = anchor
+# text (element content up to the first '<'). Extracted twice (one
+# group per regexp_extract_all call) and zipped — the two scans visit
+# identical non-overlapping match sites, so the arrays align.
+ANCHOR_PATTERN = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
 _SKIP_PREFIXES = ("#", "mailto:", "javascript:")
 
 
@@ -98,6 +104,89 @@ def host_link_graph(links: DataFrame) -> DataFrame:
         F.sum("_n").alias("n_links"),
         F.count("*").alias("n_src_pages"),
     ).withColumn("is_internal", F.col("src_host") == F.col("dst_host"))
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per navigational anchor WITH its text: (url, src_host,
+    href, link_url, dst_host, anchor).  Anchor text is trimmed; same
+    narrow zero-shuffle shape as :func:`extract_links`."""
+    html = F.col(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(2)).alias("anchor"),
+    )
+    base = df.select(
+        F.col(url_col).alias("url"),
+        F.parse_url(F.col(url_col), F.lit("PROTOCOL")).alias("_scheme"),
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        "url", "_scheme", "src_host",
+        F.col("p.href").alias("href"),
+        F.trim(F.col("p.anchor")).alias("anchor"),
+    )
+    out = base.withColumn(
+        "link_url", resolve_href(F.col("href"), F.col("_scheme"), F.col("src_host"))
+    ).filter(F.col("link_url").isNotNull())
+    return out.select(
+        "url", "src_host", "href", "link_url",
+        url_host(F.col("link_url")).alias("dst_host"), "anchor",
+    )
+
+
+def anchor_alias_table(anchors: DataFrame) -> DataFrame:
+    """Alias table from anchor text — the classic KG alias source (what
+    the web calls a page is a name for the entity behind it):
+    (link_url, anchor, n_links, n_src_hosts) per distinct surface form
+    pointing at each target.  Empty anchors dropped; two-level
+    aggregate so no per-target set materializes."""
+    per_host = (
+        anchors.filter(F.col("anchor") != "")
+        .groupBy("link_url", "anchor", "src_host")
+        .agg(F.count("*").alias("_n"))
+    )
+    return per_host.groupBy("link_url", "anchor").agg(
+        F.sum("_n").alias("n_links"),
+        F.count("*").alias("n_src_hosts"),
+    )
+
+
+# canonicalization: the pragmatic crawl subset — fragment stripped,
+# scheme+host lowercased, default ports dropped, tracking params
+# (utm_*, gclid, fbclid) removed, empty query and trailing slash
+# stripped. Pure chained regexp_replace (RE2-compatible patterns, no
+# lookaround) so the oracle replays each pass verbatim.
+_TRACKING = r"(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup."""
+    u = F.regexp_replace(url, "#.*$", "")
+    prefix = F.lower(F.regexp_extract(u, "^([^/]+//[^/?#]*)", 1))
+    u = F.concat(prefix, F.regexp_replace(u, "^[^/]+//[^/?#]*", ""))
+    u = F.regexp_replace(u, "^(https://[^/:?#]+):443([/?].*)?$", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/:?#]+):80([/?].*)?$", "$1$2")
+    u = F.regexp_replace(u, _TRACKING, "")
+    u = F.regexp_replace(u, "[?&]+$", "")
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_variants(df: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """URL-level dedup rollup: (canonical_url, n_urls, n_distinct_raw).
+    One narrow map + one two-level aggregate."""
+    per_raw = df.select(
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+        F.col(url_col).alias("_raw"),
+    ).groupBy("canonical_url", "_raw").agg(F.count("*").alias("_n"))
+    return per_raw.groupBy("canonical_url").agg(
+        F.sum("_n").alias("n_urls"),
+        F.count("*").alias("n_distinct_raw"),
+    )
 
 
 def host_pagerank(

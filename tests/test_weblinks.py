@@ -5,6 +5,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from medacy_spark.operators.weblinks import (
+    anchor_alias_table,
+    canonical_url,
+    extract_anchor_texts,
+    url_variants,
     extract_links,
     host_link_graph,
     host_pagerank,
@@ -100,3 +104,74 @@ def test_extraction_plan_is_shuffle_free(spark):
     plan = extract_links(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_texts_zip_alignment(spark):
+    html = (
+        '<a href="https://a.com/1">First Page</a>'
+        '<a href="#x">skipped</a>'
+        '<a class="b" href="/two">  two  </a>'
+        '<a href="https://c.com/3"></a>'
+    )
+    rows = (
+        extract_anchor_texts(_pages(spark, [("https://h.com/p", html)]))
+        .orderBy("href").collect()
+    )
+    got = {r["href"]: (r["link_url"], r["anchor"]) for r in rows}
+    assert got == {
+        "https://a.com/1": ("https://a.com/1", "First Page"),
+        "/two": ("https://h.com/two", "two"),
+        "https://c.com/3": ("https://c.com/3", ""),
+    }
+
+
+def test_anchor_alias_table_rollup(spark):
+    pages = _pages(
+        spark,
+        [
+            ("https://a.com/1", '<a href="https://t.com/e">Apple</a><a href="https://t.com/e">Apple</a>'),
+            ("https://b.com/1", '<a href="https://t.com/e">Apple</a><a href="https://t.com/e">apple inc</a>'),
+            ("https://b.com/2", '<a href="https://t.com/e"></a>'),
+        ],
+    )
+    t = {
+        (r["link_url"], r["anchor"]): (r["n_links"], r["n_src_hosts"])
+        for r in anchor_alias_table(extract_anchor_texts(pages)).collect()
+    }
+    assert t == {
+        ("https://t.com/e", "Apple"): (3, 2),
+        ("https://t.com/e", "apple inc"): (1, 1),
+    }
+
+
+def test_canonical_url_passes(spark):
+    cases = {
+        "https://Site.COM:443/a?utm_source=x&id=3#frag": "https://site.com/a?id=3",
+        "http://h.com:80/": "http://h.com",
+        "https://h.com/p/?utm_campaign=z": "https://h.com/p",
+        "https://h.com/p?id=1&utm_medium=m": "https://h.com/p?id=1",
+        "https://h.com/p?gclid=abc": "https://h.com/p",
+        "HTTPS://H.com/Path": "https://h.com/Path",  # path case preserved
+        "https://h.com:8443/x": "https://h.com:8443/x",  # non-default port kept
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = dict(
+        df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+    )
+    assert got == cases
+
+
+def test_url_variants_groups(spark):
+    urls = [
+        "https://a.com/p",
+        "https://A.com/p#x",
+        "https://a.com:443/p",
+        "https://a.com/p",
+        "https://b.com/q?utm_source=s",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["canonical_url"]: (r["n_urls"], r["n_distinct_raw"])
+        for r in url_variants(df).collect()
+    }
+    assert got == {"https://a.com/p": (4, 3), "https://b.com/q": (1, 1)}
