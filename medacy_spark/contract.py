@@ -4323,6 +4323,105 @@ def q_lm_perplexity(spark, sf):
     ).orderBy("doc_id")
 
 
+# ---- BPE tokenizer induction: the full Sennrich merge loop replayed
+# merge-by-merge in SQL. Pair stats are overlap-counted and
+# word-frequency weighted; the winner is (max cnt, lexicographic l, r);
+# the greedy left-to-right rewrite is the gaps-and-islands formulation
+# (odd index within each run of consecutive match positions — provably
+# the greedy scan, bpe.py module docstring). Each unrolled iteration is
+# pair-count → argmax → match → taken → rewrite.
+
+_BPE_MERGES = 8
+
+
+def _bpe_ctes(iters: int) -> str:
+    parts = ["""
+WITH wd AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM wd WHERE word <> ''
+  GROUP BY word),
+s0 AS MATERIALIZED (
+  SELECT word, CAST(pos AS BIGINT) AS pos, substring(word, pos, 1) AS sym
+  FROM (SELECT word, unnest(generate_series(1, length(word))) AS pos
+        FROM wc))"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+p{k} AS (
+  SELECT a.sym AS l, b.sym AS r, sum(wc.wcnt) AS cnt
+  FROM s{p} a JOIN s{p} b ON a.word = b.word AND b.pos = a.pos + 1
+  JOIN wc ON wc.word = a.word
+  GROUP BY l, r),
+b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT a.word, a.pos
+  FROM s{p} a JOIN s{p} c ON a.word = c.word AND c.pos = a.pos + 1
+  CROSS JOIN b{k} WHERE a.sym = b{k}.l AND c.sym = b{k}.r),
+g{k} AS (
+  SELECT word, pos,
+         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM m{k}),
+t{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS j
+    FROM g{k}) WHERE j % 2 = 1),
+s{k} AS MATERIALIZED (
+  SELECT word, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         sym FROM (
+    SELECT u.word, u.pos,
+           CASE WHEN t.pos IS NOT NULL THEN u.sym || nx.sym
+                ELSE u.sym END AS sym
+    FROM s{p} u
+    LEFT JOIN t{k} t ON u.word = t.word AND u.pos = t.pos
+    LEFT JOIN t{k} tp ON u.word = tp.word AND u.pos = tp.pos + 1
+    LEFT JOIN s{p} nx ON u.word = nx.word AND nx.pos = u.pos + 1
+    WHERE tp.pos IS NULL))""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(iters: int = _BPE_MERGES) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS lsym, r AS rsym, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM b{k}"
+        for k in range(1, iters + 1)
+    )
+    return f"{_bpe_ctes(iters)}\nSELECT * FROM ({union})\nORDER BY merge_rank\n"
+
+
+def _bpe_segmentations_sql(iters: int = _BPE_MERGES) -> str:
+    return f"""{_bpe_ctes(iters)}
+SELECT s.word, wc.wcnt, string_agg(s.sym, ' ' ORDER BY s.pos) AS segmentation
+FROM s{iters} s JOIN wc ON wc.word = s.word
+GROUP BY s.word, wc.wcnt ORDER BY s.word
+"""
+
+
+@q("bpe_merges", _bpe_merges_sql())
+def q_bpe_merges(spark, sf):
+    """bpe.learn_bpe over the corpus: the first 8 learned merges with
+    their overlap-counted pair frequencies."""
+    from medacy_spark.operators.bpe import learn_bpe
+
+    model = learn_bpe(_docs(spark, sf), n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        model.merges, "merge_rank int, lsym string, rsym string, cnt long"
+    ).orderBy("merge_rank")
+
+
+@q("bpe_segmentations", _bpe_segmentations_sql())
+def q_bpe_segmentations(spark, sf):
+    """The final per-word segmentation map after 8 merges — the model
+    state apply_bpe joins against."""
+    from medacy_spark.operators.bpe import learn_bpe
+
+    model = learn_bpe(_docs(spark, sf), n_merges=_BPE_MERGES)
+    return model.vocab.select(
+        "word", "wcnt", F.array_join("syms", " ").alias("segmentation")
+    ).orderBy("word")
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -4335,7 +4434,8 @@ _PRIORITY = [
     "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
     "host_link_graph", "host_pagerank", "lm_perplexity",
-    "anchor_alias_table", "url_canonical",
+    "anchor_alias_table", "url_canonical", "bpe_merges",
+    "bpe_segmentations",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
