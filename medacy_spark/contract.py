@@ -4422,6 +4422,48 @@ def q_bpe_segmentations(spark, sf):
     ).orderBy("word")
 
 
+# ---- source-mixture upsampling ('epochs per source'): weights cycle
+# 0.25 / 1.0 / 1.75 / 2.5 across the 20 sources; the per-source
+# fractional-epoch thresholds are driver-computed hex constants
+# embedded in BOTH engines (the matchers-vocab pattern), so the md5
+# Bernoulli replays exactly.
+
+_MIX_WEIGHTS = {f"src{k}": (k % 4) * 0.75 + 0.25 for k in range(20)}
+
+
+def _mix_values_sql() -> str:
+    from medacy_spark.operators.sampling import _hex_threshold
+
+    return ", ".join(
+        f"('{s}', {int(w)}, '{_hex_threshold(w - int(w))}')"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+
+
+@q("source_mixture", f"""
+WITH wt(source, whole, thr) AS (VALUES {_mix_values_sql()}),
+j AS (
+  SELECT d.doc_id, d.source,
+         whole + CASE WHEN md5(CAST(d.doc_id AS VARCHAR)) < thr
+                      THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN wt ON d.source = wt.source)
+SELECT doc_id, source, CAST(copy_id AS INTEGER) AS copy_id FROM (
+  SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_id
+  FROM j WHERE n > 0)
+ORDER BY doc_id, copy_id
+""")
+def q_source_mixture(spark, sf):
+    """sampling.upsample_sources with the shared weight cycle — the
+    deterministic repeat/downsample mixture a pretraining recipe
+    specifies per source."""
+    from medacy_spark.operators.sampling import upsample_sources
+
+    out = upsample_sources(_docs(spark, sf), _MIX_WEIGHTS)
+    return out.select("doc_id", "source", "copy_id").orderBy(
+        "doc_id", "copy_id"
+    )
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -4435,7 +4477,7 @@ _PRIORITY = [
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
     "host_link_graph", "host_pagerank", "lm_perplexity",
     "anchor_alias_table", "url_canonical", "bpe_merges",
-    "bpe_segmentations",
+    "bpe_segmentations", "source_mixture",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",

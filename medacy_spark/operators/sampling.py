@@ -52,6 +52,44 @@ def hash_sample(
     return df.filter(digest < F.lit(thr))
 
 
+def upsample_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """'Epochs per source' mixture construction (the public LLaMA-style
+    data recipe: some sources repeated ~2x, others downsampled): each
+    row from source ``s`` emits ``floor(w_s)`` copies plus one more
+    with probability ``frac(w_s)``, decided by md5(salt || id) against
+    a per-source hex threshold — fully deterministic and engine-
+    portable (the thresholds are driver-computed constants, so any SQL
+    engine replays the selection). Sources absent from ``weights`` are
+    dropped (weight 0). Adds ``copy_id`` (1-based).
+
+    Plan: broadcast join against the weight dim (bounded by the number
+    of sources) + a narrow sequence-explode — no shuffle of the corpus.
+    """
+    rows = [
+        (s, float(w), int(w), _hex_threshold(float(w) - int(w)))
+        for s, w in sorted(weights.items())
+    ]
+    wdf = df.sparkSession.createDataFrame(
+        rows, f"{source_col} string, _w double, _whole int, _thr string"
+    )
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    n_copies = F.col("_whole") + F.when(digest < F.col("_thr"), 1).otherwise(0)
+    out = (
+        df.join(F.broadcast(wdf), source_col)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+    )
+    return out.drop("_w", "_whole", "_thr", "_n")
+
+
 def stratified_sample(
     df: DataFrame,
     strata: str | list[str],

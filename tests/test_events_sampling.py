@@ -294,3 +294,28 @@ def test_stratified_sample_exact_counts(spark):
     # ranks are 1..k inside each stratum
     ranks = [r["sample_rank"] for r in out.filter(F.col("lang") == "en").collect()]
     assert sorted(ranks) == list(range(1, 18))
+
+
+def test_upsample_sources_semantics(spark):
+    from medacy_spark.operators.sampling import upsample_sources
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], ["doc_id", "source"]
+    )
+    out = upsample_sources(df, {"s0": 2.0, "s1": 0.5, "s2": 3.25})
+    rows = out.groupBy("source").count().collect()
+    n = {r["source"]: r["count"] for r in rows}
+    assert n["s0"] == 200  # exactly 2 epochs, no randomness
+    assert 20 <= n["s1"] <= 80  # ~half of 100
+    assert 300 <= n["s2"] <= 400  # 3 epochs + ~quarter
+    # copy_id is dense 1..n per doc
+    per_doc = out.filter("source = 's0'").groupBy("doc_id").agg(
+        F.collect_set("copy_id").alias("c")
+    )
+    assert all(sorted(r["c"]) == [1, 2] for r in per_doc.collect())
+    # deterministic across reruns
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, upsample_sources(df, {"s0": 2.0, "s1": 0.5, "s2": 3.25}).collect()))
+    assert a == b
+    # unlisted sources are dropped
+    assert upsample_sources(df, {"s0": 1.0}).filter("source != 's0'").count() == 0
