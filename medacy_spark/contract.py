@@ -4464,6 +4464,69 @@ def q_source_mixture(spark, sf):
     )
 
 
+# ---- trainable quality classifier: full-batch logistic regression
+# (the LLaMA/RefinedWeb learned-filter axis) with every gradient step
+# unrolled in SQL — identical parenthesization (z = b + a1·f1 + a2·f2
+# + a3·f3, p = 1/(1+exp(-z)), w ← w − lr·avg((p−y)·f)); only the final
+# probabilities are rounded.
+
+_LOGREG_ITERS = 6
+
+
+def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = 1.0) -> str:
+    feat = """d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS f1,
+         CAST(length(text) AS DOUBLE) / 1000.0 AS f2,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS f3
+  FROM documents),
+wt0 AS (SELECT 0.0 AS b, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+g{k} AS (
+  SELECT avg(p - y) AS gb, avg((p - y) * f1) AS g1,
+         avg((p - y) * f2) AS g2, avg((p - y) * f3) AS g3
+  FROM (SELECT y, f1, f2, f3,
+               1.0 / (1.0 + exp(-(b + a1 * f1 + a2 * f2 + a3 * f3))) AS p
+        FROM d CROSS JOIN wt{k - 1})),
+wt{k} AS (
+  SELECT b - {lr} * gb AS b, a1 - {lr} * g1 AS a1,
+         a2 - {lr} * g2 AS a2, a3 - {lr} * g3 AS a3
+  FROM wt{k - 1} CROSS JOIN g{k})""")
+    return "WITH " + feat + "".join(steps) + f"""
+SELECT doc_id, CAST(y AS DOUBLE) AS y,
+       round(1.0 / (1.0 + exp(-(b + a1 * f1 + a2 * f2 + a3 * f3))), 9) AS p
+FROM d CROSS JOIN wt{iters} ORDER BY doc_id
+"""
+
+
+@q("quality_classifier", _logreg_sql())
+def q_quality_classifier(spark, sf):
+    """classifier.train_logreg (6 full-batch iterations, lr 1.0) on the
+    default quality features, label planted as doc_id % 3 = 0; output
+    is every doc's final probability."""
+    from medacy_spark.operators.classifier import (
+        default_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    feats = default_features(F.col("text"))
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, 1.0).otherwise(0.0).alias("y"),
+        *[c.alias(n) for n, c in feats.items()],
+    )
+    model = train_logreg(d, ["f1", "f2", "f3"], "y", iterations=_LOGREG_ITERS)
+    out = score_logreg(d, model)
+    return out.select(
+        "doc_id", "y", F.round("p", 9).alias("p")
+    ).orderBy("doc_id")
+
+
 # The driver runs queries in registration order under a budget (r1 ran
 # 43/43, r2 45/66, r3 the first 50 of 72, r4 the first 50 of 79, r5 the
 # first 50 of 80, r6 the first 50 of 82) — so dict order decides which
@@ -4477,7 +4540,7 @@ _PRIORITY = [
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
     "host_link_graph", "host_pagerank", "lm_perplexity",
     "anchor_alias_table", "url_canonical", "bpe_merges",
-    "bpe_segmentations", "source_mixture",
+    "bpe_segmentations", "source_mixture", "quality_classifier",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
