@@ -50,8 +50,10 @@ HEADLINE = [
     # added in round 7 session 4 (27 queries total from here on)
     "events_sessionize",       # gap-based sessionization (one window pass)
     "purchase_attribution",    # as-of join (union-tagged stream, one shuffle)
-    # added in round 7 session 7 (28 queries total from here on)
+    # added in round 7 session 7 (30 queries total from here on)
     "sequence_packing",        # two-level distributed prefix sum + chunk map
+    "lm_perplexity",           # n-gram LM train + perplexity scoring
+    "bpe_merges",              # BPE induction (8 vocab-scale merge iterations)
 ]
 
 
