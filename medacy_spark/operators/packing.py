@@ -56,11 +56,24 @@ def doc_token_offsets(
         F.floor(F.col(id_col) / F.lit(int(bucket_width))).alias("_bkt"),
     )
     in_bucket = Window.partitionBy("_bkt").orderBy(id_col)
-    local = base.withColumn(
-        "_local_end", F.sum(step).over(in_bucket)  # inclusive, in-bucket
-    )
-    # bucket-count-scale relation: totals + their exclusive prefix sum
-    totals = local.groupBy("_bkt").agg(F.sum(step).alias("_tot"))
+    # `local` feeds BOTH the bucket rollup and the final join — checkpoint
+    # it so the corpus is scanned/tokenized exactly once, and capture the
+    # checkpoint AQE-off so its hashpartitioning(_bkt) layout is reported
+    # to consumers (under AQE a LogicalRDD reports Unknown and the rollup
+    # re-exchanges; BENCH.md "one-exchange iteration plan")
+    spark = docs.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        local = base.withColumn(
+            "_local_end", F.sum(step).over(in_bucket)  # inclusive, in-bucket
+        ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    # bucket-count-scale relation: per-bucket totals (the max inclusive
+    # in-bucket cumsum IS the bucket total — integer-exact) + their
+    # exclusive prefix sum; rides the checkpoint's _bkt layout
+    totals = local.groupBy("_bkt").agg(F.max("_local_end").alias("_tot"))
     bucket_order = Window.orderBy("_bkt")  # bucket-count rows only
     starts = totals.select(
         "_bkt",

@@ -353,3 +353,27 @@ def test_decontam_broadcast_is_bounded(spark):
         assert "BroadcastExchange" not in plan_s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_packing_single_corpus_scan(spark):
+    """sequence packing: the windowed offsets relation is checkpointed
+    AQE-off, so the bucket rollup and the final join BOTH read the
+    ExistingRDD (one corpus scan) and the rollup re-uses the reported
+    hashpartitioning(_bkt) layout — the only exchanges downstream of
+    the checkpoint are the bucket-count-scale SinglePartition window
+    and the broadcast."""
+    from medacy_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        pack_sequences(docs.select("doc_id", "text"), 64, bucket_width=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 2  # rollup + join, same RDD
+    import re
+    row_scale_exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning", l)
+    ]
+    assert row_scale_exchanges == []  # layout preserved through the checkpoint
+    assert plan.count("Exchange SinglePartition") == 1  # bucket-scale only
