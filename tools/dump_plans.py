@@ -1,5 +1,10 @@
 """Regenerate PLANS.md — formatted physical plans of the headline operators,
-the artifact backing BENCH.md's plan-shape claims."""
+the artifact backing BENCH.md's plan-shape claims.
+
+CAUTION: PLANS.md also carries sections appended manually by later
+rounds (incremental dedup, term_canon, pagerank, temporal, …) that
+this tool does not regenerate — diff before overwriting, and re-append
+anything the generator does not know about."""
 
 from __future__ import annotations
 
@@ -82,6 +87,33 @@ def main() -> None:
         "All 9 UnitOverlayer pattern families in ONE window pass (lead/lag "
         "neighborhood) + array-explode: zero joins, zero extra exchanges.",
         plan_of(us),
+    ))
+
+    from medacy_spark.operators.lm import score_perplexity, train_ngram_lm
+    from medacy_spark.operators.packing import pack_sequences
+
+    web = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pk = pack_sequences(web.select("doc_id", "text"), 64, bucket_width=100)
+    sections.append((
+        "Sequence packing (round 7)",
+        "Two-level distributed prefix sum: the windowed offsets relation is "
+        "checkpointed AQE-off so BOTH consumers read one ExistingRDD with "
+        "its hashpartitioning(_bkt) layout preserved — the only downstream "
+        "exchanges are the bucket-count-scale SinglePartition window and "
+        "the broadcast; the (doc → seq) fan-out is a narrow explode.",
+        plan_of(pk),
+    ))
+
+    lm_model = train_ngram_lm(web, n=2)
+    lm_model.gram_counts.count()
+    sc = score_perplexity(web, lm_model)
+    sections.append((
+        "n-gram LM scoring (round 7)",
+        "Gram explode + left joins against the materialized (ExistingRDD) "
+        "model tables + one per-doc partial agg; the model sides are left "
+        "declarative so AQE broadcasts them when min_count keeps the model "
+        "executor-resident.",
+        plan_of(sc),
     ))
 
     with open("/root/repo/PLANS.md", "w") as f:
