@@ -4410,6 +4410,38 @@ def q_bpe_merges(spark, sf):
     ).orderBy("merge_rank")
 
 
+@q("bpe_tokenize", _bpe_ctes(_BPE_MERGES) + f""",
+seg AS MATERIALIZED (
+  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS s
+  FROM s{_BPE_MERGES} GROUP BY word),
+dt AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents)
+SELECT d.doc_id,
+       string_agg(seg.s, ' ' ORDER BY d.pos) AS bpe_text,
+       CAST(sum(len(string_split(seg.s, ' '))) AS BIGINT) AS n_bpe_tokens
+FROM dt d JOIN seg ON d.word = seg.word
+WHERE d.word <> ''
+GROUP BY d.doc_id ORDER BY d.doc_id
+""")
+def q_bpe_tokenize(spark, sf):
+    """bpe.apply_bpe: the whole corpus re-tokenized through the learned
+    8-merge model (the model-scale segmentation join); per-doc BPE
+    token stream + count."""
+    from medacy_spark.operators.bpe import apply_bpe, learn_bpe
+
+    d = _docs(spark, sf)
+    model = learn_bpe(d, n_merges=_BPE_MERGES)
+    out = apply_bpe(d, model)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("bpe_text"),
+        F.size("tokens").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 @q("bpe_segmentations", _bpe_segmentations_sql())
 def q_bpe_segmentations(spark, sf):
     """The final per-word segmentation map after 8 merges — the model
@@ -4540,7 +4572,8 @@ _PRIORITY = [
     "duplicate_passages", "boilerplate_removal", "sequence_packing",
     "host_link_graph", "host_pagerank", "lm_perplexity",
     "anchor_alias_table", "url_canonical", "bpe_merges",
-    "bpe_segmentations", "source_mixture", "quality_classifier",
+    "bpe_segmentations", "bpe_tokenize", "source_mixture",
+    "quality_classifier",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
