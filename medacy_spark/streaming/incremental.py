@@ -99,6 +99,71 @@ def run_incremental_counts(
     )
 
 
+def run_incremental_packing(
+    stream_df: DataFrame,
+    seq_len: int,
+    *,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eos: bool = True,
+    bucket_width: int = 1_000_000,
+) -> StreamingQuery:
+    """Streaming sequence packing over a growing corpus: each micro-batch
+    extends the packed token stream exactly where the accepted stream
+    ended (mid-window included) — no recompute of prior batches' maps.
+
+    The additive state is a single scalar per batch (the batch's token +
+    EOS total, ``{output}/totals``); a new batch's map is
+    ``pack_sequences(batch, base_offset=sum(prior totals))``.  Both
+    sinks are batch_id-keyed overwrites and the state read excludes
+    batches >= the current id, so an at-least-once replay rewrites the
+    same partitions byte-identically.  Stream order defines the packing
+    order BY DESIGN (like every streaming concat); when batches arrive
+    in ``id_col`` order the result equals the whole-corpus
+    :func:`~medacy_spark.operators.packing.pack_sequences` EXACTLY
+    (gated in test_packing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from medacy_spark.operators.packing import pack_sequences
+
+    spark = stream_df.sparkSession
+    empty = spark.createDataFrame(
+        [], StructType([StructField("n_stream_tokens", LongType())])
+    )
+    _write_batch(empty, f"{output_path}/totals", -1)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        base = (
+            s.read.parquet(f"{output_path}/totals")
+            .filter(F.col("batch") < batch_id)
+            .agg(F.coalesce(F.sum("n_stream_tokens"), F.lit(0)))
+            .collect()[0][0]  # one scalar per batch — the whole state
+        )
+        packed = pack_sequences(
+            batch_df, seq_len, id_col=id_col, text_col=text_col,
+            eos=eos, bucket_width=bucket_width, base_offset=int(base),
+        )
+        _write_batch(packed, f"{output_path}/packed", batch_id)
+        step = F.size(F.split(F.col(text_col), " ")) + (
+            F.lit(1) if eos else F.lit(0)
+        )
+        tot = batch_df.agg(
+            F.coalesce(F.sum(step), F.lit(0)).cast("long").alias("n_stream_tokens")
+        )
+        _write_batch(tot, f"{output_path}/totals", batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_dedup(
     stream_df: DataFrame,
     state_path: str,
