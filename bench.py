@@ -229,6 +229,26 @@ def main() -> None:
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
 
+    # end-to-end curation throughput: the full training-data chain
+    # (hygiene gates → PII scrub → LM-quantile filter → LSH dedup →
+    # sequence packing) over 50k synthesized webtext docs —
+    # jobs/curation_pipeline.py's composition, the per-doc price of a
+    # curation run rather than any single operator
+    from jobs.curation_pipeline import run_curation, synthesize_webtext
+
+    n_cur = 50_000
+
+    def curate() -> None:
+        out = run_curation(spark, synthesize_webtext(spark, n_cur), seq_len=2048)
+        out["packed"].count()
+
+    curate()  # warm-up
+    cur_rate = 0.0
+    for _pass in range(2):
+        t0 = time.monotonic()
+        curate()
+        cur_rate = max(cur_rate, round(n_cur / (time.monotonic() - t0), 1))
+
     spark.stop()
     try:
         calibration = _calibrate(cpus)
@@ -245,6 +265,7 @@ def main() -> None:
         "kg_docs_per_sec_sustained_200k": sustained,
         "dedup_docs_per_sec_100k": dedup_rate,
         "incremental_dedup_batch_docs_per_sec_10k_vs_100k_state": inc_rate,
+        "curation_docs_per_sec_50k": cur_rate,
         # host ceiling measured AFTER spark.stop() in the same process, so
         # the burn never contends with executor threads
         "calibration": calibration,
