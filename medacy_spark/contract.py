@@ -4257,6 +4257,68 @@ def q_url_canonical(spark, sf):
     )
 
 
+# ---- alias/entity resolution over the anchor graph: surface forms
+# and target URLs form a bipartite graph; connected components give the
+# entity clusters (two names for the same page — or two pages sharing a
+# name — co-cluster). String-node CC: min-label propagation under
+# binary collation in both engines. Bounded to doc_id < 100 because the
+# oracle's recursive closure is quadratic per component.
+
+
+@q("alias_entity_clusters", _WEB_W_CTE.replace(
+    "WITH w AS", "WITH RECURSIVE w AS").replace(
+    "FROM documents)", "FROM documents WHERE doc_id < 100)") + r""",
+ax0 AS (
+  SELECT url,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS src_host,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS rawanchor
+  FROM w),
+ax AS (
+  SELECT trim(rawanchor) AS anchor,
+         regexp_replace(
+           CASE WHEN regexp_matches(href, '^https?://') THEN href
+                WHEN href LIKE '//%' THEN scheme || ':' || href
+                WHEN href LIKE '/%' THEN scheme || '://' || src_host || href
+                ELSE scheme || '://' || src_host || '/' || href END,
+           '#.*$', '') AS link_url
+  FROM ax0
+  WHERE NOT (href = '' OR href LIKE '#%' OR href LIKE 'mailto:%'
+             OR href LIKE 'javascript:%')),
+e AS (
+  SELECT DISTINCT 'a:' || anchor AS a, 'u:' || link_url AS b
+  FROM ax WHERE anchor <> ''),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, und.b FROM reach JOIN und ON reach.r = und.a)
+SELECT n AS node, min(r) AS component
+FROM reach GROUP BY n ORDER BY node
+""")
+def q_alias_entity_clusters(spark, sf):
+    """weblinks.extract_anchor_texts → bipartite (anchor, target) edges
+    → graph.connected_components: the KG entity-resolution step that
+    clusters surface forms with the pages they name."""
+    from medacy_spark.operators.graph import connected_components
+    from medacy_spark.operators.weblinks import extract_anchor_texts
+
+    pages = _web_pages(spark, sf).filter(
+        F.col("url").rlike("/page/\\d{1,2}$")
+    )
+    anchors = extract_anchor_texts(pages).filter(F.col("anchor") != "")
+    edges = anchors.select(
+        F.concat(F.lit("a:"), F.col("anchor")).alias("src"),
+        F.concat(F.lit("u:"), F.col("link_url")).alias("dst"),
+    ).distinct()
+    cc = connected_components(edges)
+    return cc.select("node", "component").orderBy("node")
+
+
 # ---- n-gram LM perplexity (CCNet-style quality filter): bigram add-k
 # LM trained on the corpus, scored against a perturbed copy (an unseen
 # token appended on doc_id % 10 = 0 exercises the OOV/unseen-gram path
@@ -4573,7 +4635,7 @@ _PRIORITY = [
     "host_link_graph", "host_pagerank", "lm_perplexity",
     "anchor_alias_table", "url_canonical", "bpe_merges",
     "bpe_segmentations", "bpe_tokenize", "source_mixture",
-    "quality_classifier",
+    "quality_classifier", "alias_entity_clusters",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
