@@ -93,6 +93,8 @@ def run_curation(
     min_quality: float = 0.2,
     max_dup5gram: float = 0.5,
     ppl_quantile: float = 0.9,
+    benchmark: DataFrame | None = None,
+    max_contamination: float = 0.0,
     mix_weights: dict[str, float] | None = None,
     stats: dict | None = None,
 ) -> dict[str, DataFrame]:
@@ -149,6 +151,21 @@ def run_curation(
     # 4. near-dup removal (MinHash-LSH → CC → min-id survivor)
     unique = dedup_corpus(fluent)
     note("unique", unique)
+
+    # 4b. benchmark decontamination (optional): drop docs whose word-8-gram
+    # overlap with the eval table exceeds max_contamination
+    if benchmark is not None:
+        from medacy_spark.operators.decontam import ngram_contamination
+
+        cont = ngram_contamination(unique, benchmark).select(
+            "doc_id", "contamination_frac"
+        )
+        unique = (
+            unique.join(cont, "doc_id")
+            .filter(F.col("contamination_frac") <= max_contamination)
+            .drop("contamination_frac")
+        )
+        note("decontaminated", unique)
 
     # 5. epochs-per-source mixture (optional)
     if mix_weights:

@@ -61,3 +61,24 @@ def test_mixture_stage(spark):
     }
     for k in range(5):
         assert src.get(f"src{k}", 0) == 2 * base.get(f"src{k}", 0)
+
+
+def test_decontamination_stage(spark):
+    docs = synthesize_webtext(spark, 400)
+    # benchmark = exact token windows lifted from two docs → those docs
+    # are fully contaminated and must be dropped
+    bench = docs.filter("doc_id IN (3, 9)").select(
+        F.array_join(
+            F.slice(F.split("text", " "), 5, 20), " "
+        ).alias("text")
+    )
+    stats: dict[str, int] = {}
+    out = run_curation(
+        spark, docs, seq_len=64, benchmark=bench, stats=stats,
+        ppl_quantile=1.0,  # isolate the decontamination gate
+    )
+    ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+    assert 3 not in ids and 9 not in ids
+    assert stats["decontaminated"] < stats["unique"]
+    # an untouched doc survives
+    assert 5 in ids
