@@ -4319,6 +4319,61 @@ def q_alias_entity_clusters(spark, sf):
     return cc.select("node", "component").orderBy("node")
 
 
+# ---- deterministic random walks over the host graph (the DeepWalk
+# corpus generator): the hash-argmin step choice — out-neighbor
+# minimizing md5(salt:cur:walk:step:dst), ties by dst — replayed with a
+# row_number over the identical key string. Steps unrolled like the
+# pagerank/BPE oracles.
+
+_WALK_N = 2
+_WALK_LEN = 4
+
+
+def _host_walks_sql(n_walks: int = _WALK_N, walk_len: int = _WALK_LEN) -> str:
+    parts = [_WEB_LINKS_CTES + f""",
+e AS MATERIALIZED (
+  SELECT DISTINCT src_host AS a, dst_host AS b FROM links
+  WHERE src_host <> dst_host),
+c0 AS (
+  SELECT a AS start, CAST(walk_id AS INTEGER) AS walk_id, a AS cur
+  FROM (SELECT DISTINCT a FROM e),
+       (SELECT unnest(generate_series(0, {n_walks - 1})) AS walk_id))"""]
+    for t in range(1, walk_len + 1):
+        parts.append(f""",
+w{t} AS (
+  SELECT s.start, s.walk_id, e.b,
+         row_number() OVER (PARTITION BY s.start, s.walk_id
+           ORDER BY md5(':' || s.cur || ':' || CAST(s.walk_id AS VARCHAR)
+                        || ':' || '{t}' || ':' || e.b), e.b) AS rn
+  FROM c{t - 1} s JOIN e ON s.cur = e.a),
+c{t} AS MATERIALIZED (
+  SELECT start, walk_id, b AS cur FROM w{t} WHERE rn = 1)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT start, walk_id, CAST({t} AS INTEGER) AS step, cur AS node FROM c{t}"
+        for t in range(walk_len + 1)
+    )
+    parts.append(f"""
+SELECT * FROM ({union})
+ORDER BY start, walk_id, step
+""")
+    return "".join(parts)
+
+
+@q("host_random_walks", _host_walks_sql())
+def q_host_random_walks(spark, sf):
+    """graph.random_walks over the external host-link graph: 2 walks of
+    4 steps from every host — the node-embedding corpus generator."""
+    from medacy_spark.operators.graph import random_walks
+    from medacy_spark.operators.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_web_pages(spark, sf)))
+    edges = g.filter(~F.col("is_internal")).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    w = random_walks(edges, n_walks=_WALK_N, walk_len=_WALK_LEN)
+    return w.orderBy("start", "walk_id", "step")
+
+
 # ---- n-gram LM perplexity (CCNet-style quality filter): bigram add-k
 # LM trained on the corpus, scored against a perturbed copy (an unseen
 # token appended on doc_id % 10 = 0 exercises the OOV/unseen-gram path
@@ -4635,7 +4690,7 @@ _PRIORITY = [
     "host_link_graph", "host_pagerank", "lm_perplexity",
     "anchor_alias_table", "url_canonical", "bpe_merges",
     "bpe_segmentations", "bpe_tokenize", "source_mixture",
-    "quality_classifier", "alias_entity_clusters",
+    "quality_classifier", "alias_entity_clusters", "host_random_walks",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",

@@ -354,6 +354,94 @@ def degree_stats(
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    *,
+    n_walks: int = 2,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic random walks — the DeepWalk/node2vec corpus
+    generator: from every node with out-edges, ``n_walks`` walks of up
+    to ``walk_len`` steps; the walk table feeds the word2vec pipeline
+    (embeddings_train) as sentences, giving node embeddings.
+
+    The step choice at (cur, walk, step) is the out-neighbor minimizing
+    ``md5(salt:cur:walk:step:dst)`` — a uniform-ish hash draw that is
+    engine-portable (md5 is md5 everywhere), rerun-stable, and
+    independent across steps/walks via the key; different ``salt``
+    values give independent walk sets.  Dead ends truncate the walk.
+    Output: (start, walk_id, step, node), step 0 = the start itself.
+
+    Scale shape (the bfs/pagerank recipe): the edge relation is laid
+    out ONCE by the join key under AQE-off and localCheckpointed; each
+    step is one frontier-sized equi-join + one map-side-combinable
+    argmin aggregation (min of a (hash, dst) struct — no window), with
+    the frontier checkpointed per step so plans stay flat.
+    """
+    spark = edges.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _random_walks_inner(edges, n_walks, walk_len, src, dst, salt)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _random_walks_inner(edges, n_walks, walk_len, src, dst, salt) -> DataFrame:
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
+        .sortWithinPartitions("a")
+        .localCheckpoint()
+    )
+    starts = e.select(F.col("a").alias("start")).distinct()
+    frontier = starts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_walks) - 1))).alias("walk_id"),
+    ).select("start", "walk_id", F.col("start").alias("cur")).localCheckpoint()
+    rows = [
+        frontier.select(
+            "start", "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    for t in range(1, int(walk_len) + 1):
+        key = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col("a").cast("string"),  # the current node (cur, renamed)
+                F.col("walk_id").cast("string"),
+                F.lit(str(t)),
+                F.col("b").cast("string"),
+            )
+        )
+        nxt = (
+            frontier.withColumnRenamed("cur", "a")
+            .join(e, "a")
+            .select("start", "walk_id", key.alias("_h"), "b")
+            .groupBy("start", "walk_id")
+            .agg(F.min(F.struct("_h", "b")).alias("_m"))
+            .select("start", "walk_id", F.col("_m.b").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        rows.append(
+            nxt.select(
+                "start", "walk_id", F.lit(t).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+        frontier = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def same_as_edges(links: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build same_as edges from the links table: every surface form shares
     an edge with its CUI (term-node <-> concept-node), so all aliases of a

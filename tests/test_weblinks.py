@@ -175,3 +175,61 @@ def test_url_variants_groups(spark):
         for r in url_variants(df).collect()
     }
     assert got == {"https://a.com/p": (4, 3), "https://b.com/q": (1, 1)}
+
+
+def test_random_walks_semantics(spark):
+    from medacy_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")], ["src", "dst"]
+    )
+    w = random_walks(edges, n_walks=2, walk_len=3)
+    rows = {(r["start"], r["walk_id"], r["step"]): r["node"] for r in w.collect()}
+    # step 0 is the start itself, for every (start, walk)
+    starts = {"a", "b", "c"}  # d has no out-edges → no walks start there
+    assert {k[0] for k in rows} == starts
+    for s in starts:
+        for k in (0, 1):
+            assert rows[(s, k, 0)] == s
+    # every step follows a real edge
+    e = {("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")}
+    for (s, k, t), n in rows.items():
+        if t > 0:
+            assert (rows[(s, k, t - 1)], n) in e
+    # dead end truncates: a walk reaching d has no further steps
+    for (s, k, t), n in rows.items():
+        if n == "d":
+            assert (s, k, t + 1) not in rows
+    # deterministic across reruns; different salt gives a different draw
+    w2 = {(r["start"], r["walk_id"], r["step"]): r["node"]
+          for r in random_walks(edges, n_walks=2, walk_len=3).collect()}
+    assert w2 == rows
+    w3 = {(r["start"], r["walk_id"], r["step"]): r["node"]
+          for r in random_walks(edges, n_walks=2, walk_len=3, salt="x").collect()}
+    assert w3 != rows  # 4 branch decisions at b → astronomically unlikely equal
+
+
+def test_random_walks_feed_cooccurrence(spark):
+    # DeepWalk composition: walks are sentences for the word2vec pipeline
+    from medacy_spark.operators.embeddings_train import cooccurrence_pairs
+    from medacy_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
+        + [(f"n{i}", f"n{(i + 2) % 6}") for i in range(6)],
+        ["src", "dst"],
+    )
+    w = random_walks(edges, n_walks=4, walk_len=8)
+    toks = w.select(
+        F.concat_ws("|", "start", F.col("walk_id").cast("string")).alias("doc_id"),
+        F.col("step").alias("pos"),
+        F.col("node").alias("word"),
+    )
+    pairs = cooccurrence_pairs(toks, window=2, id_cols=("doc_id",), order_col="pos")
+    got = {(r["word"], r["ctx"]): r["n"] for r in pairs.collect()}
+    assert got  # non-empty co-occurrence table
+    # ring structure: co-occurring nodes are graph-close (within 4 hops)
+    def d(a, b):
+        i, j = int(a[1:]), int(b[1:])
+        return min((i - j) % 6, (j - i) % 6)
+    assert all(d(a, b) <= 4 for (a, b) in got)
