@@ -260,3 +260,25 @@ def test_node_embeddings_geometry(spark):
     assert adj > anti + 0.1
     vocab2, vecs2 = node_embeddings(edges, dim=8, n_walks=6, walk_len=12)
     assert vocab2 == vocab and np.array_equal(vecs, vecs2)
+
+
+def test_canonical_url_idempotent(spark):
+    # canonicalization is a projection: applying it twice changes nothing
+    import itertools
+
+    parts = itertools.product(
+        ["https://Site.COM", "http://h.com:80", "https://h.com:443"],
+        ["", "/p", "/p/"],
+        ["", "?id=1", "?utm_source=x", "?id=1&utm_medium=m&z=2", "?utm_campaign=x&gclid=g"],
+        ["", "#frag"],
+    )
+    urls = ["".join(p) for p in parts]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [
+        (r["c"], r["c2"])
+        for r in df.select(
+            canonical_url(F.col("url")).alias("c"),
+            canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        ).collect()
+    ]
+    assert all(a == b for a, b in got), [x for x in got if x[0] != x[1]]
