@@ -4319,6 +4319,77 @@ def q_alias_entity_clusters(spark, sf):
     return cc.select("node", "component").orderBy("node")
 
 
+# ---- personalized (topic-sensitive) PageRank: teleport mass restarts
+# only at the seed hosts — the KG recommendation primitive ("entities
+# related to THESE"). Same iteration arithmetic as the shared pagerank
+# tail except the teleport term: (1-d)·p_i with p_i = 1/|seeds| on the
+# seed set, init = the teleport vector.
+
+_PPR_SEEDS = ["src0.example.com", "src1.example.com"]
+
+
+def _ppr_tail_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""pr{k} AS (
+  SELECT tp.node,
+         (1.0 - {d}) * tp.p + {d} * coalesce(c.contrib, 0.0) AS rnk
+  FROM tp LEFT JOIN (
+    SELECT ed.dst_id AS node, sum(p.rnk * (ed.weight / o.wout)) AS contrib
+    FROM pr{k - 1} p
+    JOIN ed ON p.node = ed.src_id
+    JOIN outd o ON ed.src_id = o.src_id
+    GROUP BY ed.dst_id) c ON tp.node = c.node)""")
+    chain = ",\n".join(steps)
+    return f"""nodes AS (SELECT src_id AS node FROM ed UNION SELECT dst_id FROM ed),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes
+       WHERE node IN ({seeds})),
+tp AS (SELECT node,
+              CASE WHEN node IN ({seeds}) THEN 1.0 / (SELECT k FROM ns)
+                   ELSE 0.0 END AS p
+       FROM nodes),
+outd AS (SELECT src_id, sum(weight) AS wout FROM ed GROUP BY src_id),
+pr0 AS (SELECT node, p AS rnk FROM tp),
+{chain}
+SELECT node, round(rnk, 9) AS pagerank
+FROM pr{iters} ORDER BY node
+"""
+
+
+@q(
+    "host_ppr",
+    _WEB_LINKS_CTES
+    + """,
+ed AS (
+  SELECT src_host AS src_id, dst_host AS dst_id,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM links WHERE src_host <> dst_host GROUP BY src_id, dst_id),
+"""
+    + _ppr_tail_sql(),
+)
+def q_host_ppr(spark, sf):
+    """graph.pagerank with a personalized teleport over the host graph:
+    rank hosts by relevance TO the two seed hosts."""
+    from medacy_spark.operators.graph import pagerank
+    from medacy_spark.operators.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_web_pages(spark, sf)))
+    ed = g.filter(~F.col("is_internal")).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], ["node"])
+    pr = pagerank(
+        ed, src="src", dst="dst", weight="weight",
+        iterations=_PR_ITERS, damping=_PR_DAMPING, seeds=seeds,
+    )
+    return pr.select("node", F.round("pagerank", 9).alias("pagerank")).orderBy(
+        "node"
+    )
+
+
 # ---- deterministic random walks over the host graph (the DeepWalk
 # corpus generator): the hash-argmin step choice — out-neighbor
 # minimizing md5(salt:cur:walk:step:dst), ties by dst — replayed with a
@@ -4691,6 +4762,7 @@ _PRIORITY = [
     "anchor_alias_table", "url_canonical", "bpe_merges",
     "bpe_segmentations", "bpe_tokenize", "source_mixture",
     "quality_classifier", "alias_entity_clusters", "host_random_walks",
+    "host_ppr",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",

@@ -221,8 +221,16 @@ def pagerank(
     damping: float = 0.85,
     stats: dict | None = None,
     materialize_every: int = 8,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Weighted PageRank over edges(src, dst[, weight]) -> (node, pagerank).
+
+    ``seeds`` switches to PERSONALIZED (topic-sensitive) PageRank: the
+    teleport mass (1-d) restarts only at the seed nodes (p_i =
+    1/|seeds∩nodes|), init = the teleport vector — "entities related to
+    THESE" ranking. Raises if no seed appears in the graph. The uniform
+    path is byte-identical to before the option existed (oracle-pinned).
 
     Fixed-iteration power method — the KG analytics companion to
     materialize_nodes_edges (rank concept nodes by citation mass; the
@@ -256,14 +264,16 @@ def pagerank(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _pagerank_inner(
-            edges, src, dst, w, iterations, damping, stats, materialize_every
+            edges, src, dst, w, iterations, damping, stats,
+            materialize_every, seeds, seed_col,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def _pagerank_inner(
-    edges, src, dst, w, iterations, damping, stats, materialize_every
+    edges, src, dst, w, iterations, damping, stats, materialize_every,
+    seeds=None, seed_col="node",
 ) -> DataFrame:
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
@@ -298,17 +308,38 @@ def _pagerank_inner(
         .sortWithinPartitions("_s")
         .localCheckpoint()
     )
-    base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pagerank"))
+    if seeds is None:
+        join_base = nodes
+        tele = F.lit((1.0 - damping) / n)
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("pagerank"))
+    else:
+        # personalized (topic-sensitive) teleport: mass restarts only at
+        # the seed set — (1-d)·p_i with p_i = 1/|seeds∩nodes|. Broadcast
+        # seed marker preserves the node layout; init = the teleport
+        # vector itself (the standard PPR start).
+        sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+        marked = nodes.join(
+            F.broadcast(sd.withColumn("_is", F.lit(1))), "node", "left"
+        )
+        k = marked.filter(F.col("_is") == 1).count()
+        if k == 0:
+            raise ValueError("pagerank: no seed node appears in the graph")
+        join_base = marked.select(
+            "node",
+            F.when(F.col("_is") == 1, F.lit(1.0 / k))
+            .otherwise(F.lit(0.0)).alias("_p"),
+        ).localCheckpoint()
+        tele = F.lit(1.0 - damping) * F.col("_p")
+        ranks = join_base.select("node", F.col("_p").alias("pagerank"))
     for it in range(iterations):
         contrib = (
             norm.join(ranks.withColumnRenamed("node", "_s"), "_s")
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum(F.col("pagerank") * F.col("_share")).alias("_in"))
         )
-        step = nodes.join(contrib, "node", "left").select(
+        step = join_base.join(contrib, "node", "left").select(
             "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
+            (tele + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
                 "pagerank"
             ),
         )

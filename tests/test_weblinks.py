@@ -282,3 +282,29 @@ def test_canonical_url_idempotent(spark):
         ).collect()
     ]
     assert all(a == b for a, b in got), [x for x in got if x[0] != x[1]]
+
+
+def test_personalized_pagerank(spark):
+    import pytest
+
+    from medacy_spark.operators.graph import pagerank
+
+    # two communities bridged by one edge; personalize on community A
+    edges = (
+        [(f"a{i}", f"a{(i + 1) % 4}") for i in range(4)]
+        + [(f"b{i}", f"b{(i + 1) % 4}") for i in range(4)]
+        + [("a0", "b0")]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a0",), ("a1",)], ["node"])
+    pr = {r["node"]: r["pagerank"] for r in pagerank(e, seeds=seeds).collect()}
+    # mass concentrates in the seed community (the a0→b0 bridge leaks
+    # half of a0's out-mass every round, so the split is ~60/40, not
+    # extreme — assert the direction plus per-node dominance)
+    a_mass = sum(v for k, v in pr.items() if k.startswith("a"))
+    b_mass = sum(v for k, v in pr.items() if k.startswith("b"))
+    assert a_mass > 1.4 * b_mass
+    assert pr["a0"] > pr["b2"]  # non-seed far nodes get no teleport floor
+    assert min(pr[f"a{i}"] for i in range(4)) > 0
+    with pytest.raises(ValueError):
+        pagerank(e, seeds=spark.createDataFrame([("zz",)], ["node"]))
