@@ -61,7 +61,7 @@ def resolve_href(href: Column, scheme: Column, host: Column) -> Column:
         .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
         .otherwise(F.concat(scheme, F.lit("://"), host, F.lit("/"), href))
     )
-    skip = (href == "") | F.lit(False)
+    skip = href == ""
     for p in _SKIP_PREFIXES:
         skip = skip | href.startswith(p)
     return F.when(~skip, F.regexp_replace(resolved, "#.*$", ""))
