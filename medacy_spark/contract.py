@@ -3956,6 +3956,44 @@ def q_boilerplate_removal(spark, sf):
 # stream, then each doc exploded to the seq windows its span overlaps.
 
 
+def q_packing_stats(spark, sf):
+    """packing_stats over the same 64-token map: per-sequence slice
+    count, token fill, and fill fraction."""
+    from medacy_spark.operators.packing import pack_sequences, packing_stats
+
+    st = packing_stats(pack_sequences(_docs(spark, sf), 64, bucket_width=100), 64)
+    return st.orderBy("seq_id")
+
+
+_PACKING_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+ofs AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok + 1) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS o
+  FROM base),
+ex AS (
+  SELECT doc_id, n_tok, o,
+         UNNEST(generate_series(o // 64, (o + n_tok - 1) // 64)) AS seq_id
+  FROM ofs WHERE n_tok > 0),
+pk AS (
+  SELECT seq_id,
+         CAST(LEAST(o + n_tok, (seq_id + 1) * 64)
+              - GREATEST(o, seq_id * 64) AS BIGINT) AS n_tokens
+  FROM ex)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_slices,
+       CAST(sum(n_tokens) AS BIGINT) AS n_doc_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / 64.0, 9) AS fill_frac
+FROM pk GROUP BY seq_id ORDER BY seq_id
+"""
+QUERIES["packing_stats"] = q_packing_stats
+ORACLES["packing_stats"] = _PACKING_STATS_SQL
+
+
 @q("sequence_packing", """
 WITH base AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -4762,7 +4800,7 @@ _PRIORITY = [
     "anchor_alias_table", "url_canonical", "bpe_merges",
     "bpe_segmentations", "bpe_tokenize", "source_mixture",
     "quality_classifier", "alias_entity_clusters", "host_random_walks",
-    "host_ppr",
+    "host_ppr", "packing_stats",
     "incremental_dedup", "measures_macro",
     "kg_pagerank", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
