@@ -43,6 +43,20 @@ STOPSET = ["the", "a"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan fanned out: the testdata parquet is ONE
+    row group, so every per-doc map (split/regex/explode) downstream of a
+    bare read runs in a single task until the first exchange (guide §2.5
+    input skew).  Repartitioning the raw doc rows (a few MB) right after
+    the scan moves the cheap bytes once and makes all per-doc compute
+    cores-wide; the hash(doc_id) layout is exactly what every doc-keyed
+    window/join downstream requires, so no second exchange appears."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+
+
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare scan, no fan-out — for queries whose per-doc map work is
+    trivial (or column-pruned away under a count), where the repartition
+    exchange would be pure overhead."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -52,7 +66,7 @@ def _clin_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     its range-partitioning satisfies every doc-keyed distribution, so the
     whole clinical pipeline plans with zero shuffle exchanges (BENCH.md).
     Falls back to the parquet ids otherwise."""
-    stats = _docs(spark, sf_dir).agg(
+    stats = _docs_raw(spark, sf_dir).agg(
         F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
     if stats["lo"] == 0 and stats["hi"] == stats["n"] - 1:
@@ -915,7 +929,7 @@ def q_exact_dup_groups(spark, sf):
     # count while the id list is bounded — the mega-group guard at scale
     from medacy_spark.operators.dedup import exact_duplicates
 
-    d = _docs(spark, sf).select("doc_id", "text")
+    d = _docs_raw(spark, sf).select("doc_id", "text")
     doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     return (
         exact_duplicates(doubled, max_ids=2)
@@ -1191,13 +1205,15 @@ ORDER BY q_id, rank
 """)
 def q_embedding_topk(spark, sf):
     from medacy_spark.operators.similarity import brute_force_topk
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # single-row-group parquet: fan the corpus out so the cosine pass is
+    # cores-wide instead of one scan task (guide §2.5)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").repartition("vec_id")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     # score excluded from the hash compare (float rounding differs in the
     # 15th digit between engines); rank is the verified output
-    return brute_force_topk(emb, qs, k=10).select(
+    return brute_force_topk(emb, qs, k=10, dim=64).select(
         "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
     ).orderBy("q_id", "rank")
 
@@ -1239,7 +1255,8 @@ ORDER BY q_id, rank
 @q("embedding_topk_lsh", _lsh_topk_sql())
 def q_embedding_topk_lsh(spark, sf):
     from medacy_spark.operators.similarity import lsh_bucketed_topk
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # see q_embedding_topk: parallelize the bucket+cosine map work
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").repartition("vec_id")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     return lsh_bucketed_topk(emb, qs, dim=64, k=10).select(
         "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
@@ -1293,7 +1310,7 @@ FROM t GROUP BY doc_id ORDER BY doc_id
 """)
 def q_doc_fingerprints(spark, sf):
     from medacy_spark.operators.textstats import doc_fingerprint
-    return _docs(spark, sf).select(
+    return _docs_raw(spark, sf).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
 
@@ -1316,7 +1333,7 @@ FROM reach GROUP BY n ORDER BY node
 """)
 def q_connected_components(spark, sf):
     from medacy_spark.operators.graph import connected_components
-    d = _docs(spark, sf).filter(F.col("doc_id") < 120).select("doc_id")
+    d = _docs_raw(spark, sf).filter(F.col("doc_id") < 120).select("doc_id")
     edges = d.filter(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("src"), ((F.col("doc_id") * 2) % 120).alias("dst")
     )
@@ -1963,7 +1980,7 @@ SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100
 """)
 def q_data_limit(spark, sf):
     return (
-        _docs(spark, sf).select("doc_id", "n_chars").orderBy("doc_id").limit(100)
+        _docs_raw(spark, sf).select("doc_id", "n_chars").orderBy("doc_id").limit(100)
     )
 
 
@@ -1982,7 +1999,7 @@ def q_embedding_near_dups(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 200")
     # exact variant (n_planes=0) so the oracle matches; cosine column
     # excluded from the hash (float rounding differs across engines)
-    return embedding_near_dups(emb, threshold=0.25, n_planes=0).select(
+    return embedding_near_dups(emb, threshold=0.25, n_planes=0, dim=64).select(
         "id_a", "id_b"
     ).orderBy("id_a", "id_b")
 
@@ -2023,7 +2040,7 @@ def q_embedding_topk_ivf(spark, sf):
     from medacy_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    return ivf_topk(emb, qs, n_cells=16, n_probe=4, k=10, kmeans_iters=0).select(
+    return ivf_topk(emb, qs, n_cells=16, n_probe=4, k=10, kmeans_iters=0, dim=64).select(
         "q_id", "vec_id", F.col("rank").cast("int").alias("rank")
     ).orderBy("q_id", "rank")
 

@@ -796,24 +796,35 @@ def embedding_near_dups(
     fallback probes it with a driver-side .first(), an extra job you don't
     want mid-pipeline at scale.
     """
-    from medacy_spark.operators.linking import cosine
+    from medacy_spark.operators.linking import array_dot, array_norm
     from medacy_spark.operators.similarity import rh_bucket
 
+    # each side's L2 norm is hoisted to once-per-row (r8): same fold
+    # arithmetic as the inline cosine, 3 HOF folds/pair -> 1
     if n_planes > 0:
         if dim is None:
             dim = len(embeddings.select(vec_col).first()[0])
         e = embeddings.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
             rh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+            array_norm(F.col(vec_col)).alias("_n"),
         )
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     "bucket", F.col("_n").alias("_na"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     "bucket", F.col("_n").alias("_nb"))
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                              array_norm(F.col(vec_col)).alias("_na"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                              array_norm(F.col(vec_col)).alias("_nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = F.when(
+        (F.col("_na") == 0) | (F.col("_nb") == 0), F.lit(0.0)
+    ).otherwise(
+        array_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+    )
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

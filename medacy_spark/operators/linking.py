@@ -33,11 +33,33 @@ def cui_dictionary(spark: SparkSession) -> DataFrame:
     )
 
 
-def cosine(a, b):
-    """JVM-side cosine similarity of two array<float/double> columns."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+def array_dot(a, b):
+    """HOF left-fold dot product — the shared building block for cosine
+    and its norm-hoisted variants (r8: measured FASTER than a 64-term
+    unrolled element_at chain, which compiles to pathologically nested
+    codegen; the HOF fold's per-element interpretation is the cheaper
+    evil — keep the fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def array_norm(a):
+    """HOF left-fold L2 norm — same fold arithmetic as cosine's inline
+    norms, exposed so join operators can hoist it to once-per-row."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a, b, dim: int | None = None):
+    """JVM-side cosine similarity of two array<float/double> columns.
+
+    ``dim`` is accepted (and ignored) for call-site compatibility: an
+    r8 experiment unrolled the folds for statically-known widths and
+    measured it SLOWER than the HOF path (janino chokes on the nested
+    chain; interpreted fallback is worse still) — the winning variant is
+    norm-hoisting at the operator level (similarity.brute_force_topk),
+    not expression unrolling."""
+    dot = array_dot(a, b)
+    na = array_norm(a)
+    nb = array_norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
