@@ -126,6 +126,100 @@ def pred_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionByName(halluc)
 
 
+def _mention_sides(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gold: bool = False,
+    pred: bool = False,
+    phrase: bool = False,
+) -> dict[str, DataFrame]:
+    """All requested mention families from ONE token pass (r8).
+
+    ``gold_df``/``pred_df``/``phrase_df`` each rebuild the whole token
+    pipeline (scan → explode → window sums), so a two-sided join query
+    re-derives it 2-4x.  This derives every requested side in a single
+    window pass — per token an array of side-tagged structs, exploded —
+    and localCheckpoints the small combined mention table once (the
+    single-pass rule; see mentions.detect_mentions for the pattern).
+    Values are identical to the per-side builders (oracle-verified);
+    only the plan changes.
+
+    Returns {"gold"/"pred"/"phrase": DataFrame(doc_id, tag, start, end,
+    text)} filtered views of the one checkpoint.
+    """
+    t = tokens_df(spark, sf_dir)
+    if phrase:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        t = t.withColumn("_nw", F.lead("word").over(w)).withColumn(
+            "_ne", F.lead("end").over(w)
+        )
+    is_kw = F.col("word").isin(KEYWORDS)
+    k = F.col("doc_id") + F.col("pos")
+    structs = []
+    if gold:
+        structs.append(
+            F.when(
+                is_kw,
+                F.struct(
+                    F.lit("g").alias("_side"), F.col("word").alias("tag"),
+                    F.col("start"), F.col("end"), F.col("word").alias("text"),
+                ),
+            )
+        )
+    if pred:
+        shift = (k % 7 == 0).cast("long")
+        structs.append(
+            F.when(
+                is_kw & (k % 11 != 0),
+                F.struct(
+                    F.lit("p").alias("_side"),
+                    F.when(k % 13 == 0, _swap_expr("word")).otherwise(F.col("word")).alias("tag"),
+                    (F.col("start") + shift).alias("start"),
+                    (F.col("end") + shift).alias("end"),
+                    F.col("word").alias("text"),
+                ),
+            ).when(
+                ~is_kw & (k % 17 == 0),
+                F.struct(
+                    F.lit("p").alias("_side"), _kw_pick(k).alias("tag"),
+                    F.col("start"), F.col("end"), F.col("word").alias("text"),
+                ),
+            )
+        )
+    if phrase:
+        structs.append(
+            F.when(
+                is_kw & F.col("_nw").isNotNull(),
+                F.struct(
+                    F.lit("h").alias("_side"),
+                    F.concat(F.lit("P_"), F.col("word")).alias("tag"),
+                    F.col("start"), F.col("_ne").alias("end"),
+                    F.concat_ws(" ", "word", "_nw").alias("text"),
+                ),
+            )
+        )
+    m = t.select(
+        "doc_id",
+        F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull())).alias("s"),
+    ).select("doc_id", "s._side", "s.tag", "s.start", "s.end", "s.text")
+    m = m.localCheckpoint(eager=False)
+    cols = ["doc_id", "tag", "start", "end", "text"]
+    out: dict[str, DataFrame] = {}
+    for name, code in (("gold", "g"), ("pred", "p"), ("phrase", "h")):
+        if {"gold": gold, "pred": pred, "phrase": phrase}[name]:
+            # fresh attribute ids per view: two views of ONE checkpoint fed
+            # to a self-join/cogroup otherwise share exprIds, and Spark's
+            # relation dedup mis-projects the right side of a pandas
+            # cogroup (observed: pred arrived without its 'tag' column)
+            out[name] = m.filter(F.col("_side") == code).select(
+                *[F.col(c).alias(c) for c in cols]
+            )
+    # the union the ambiguity workload wants, without re-reading per side
+    out["all"] = m.select(*[F.col(c).alias(c) for c in cols])
+    return out
+
+
 def phrase_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_df(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -288,7 +382,8 @@ WHERE EXISTS (
 """)
 def q_lenient_intersection(spark, sf):
     from medacy_spark.operators.annotations import lenient_intersection
-    return lenient_intersection(gold_df(spark, sf), pred_df(spark, sf), leniency=0.2)
+    sides = _mention_sides(spark, sf, gold=True, pred=True)
+    return lenient_intersection(sides["gold"], sides["pred"], leniency=0.2)
 
 
 # ---- J6/A11: ambiguity (overlap, different tags) over gold ∪ phrase
@@ -308,9 +403,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def q_ambiguity_counts(spark, sf):
     from medacy_spark.operators.annotations import ambiguity
-    g = gold_df(spark, sf).select("doc_id", "tag", "start", "end", "text")
-    p = phrase_df(spark, sf).select("doc_id", "tag", "start", "end", "text")
-    m = g.unionByName(p)
+    # gold ∪ phrase from ONE checkpointed token pass (no union, no
+    # per-side re-derivation — the self-join reads the checkpoint twice)
+    m = _mention_sides(spark, sf, gold=True, phrase=True)["all"]
     pairs = ambiguity(m, m, self_compare=True)
     return (
         pairs.groupBy("tag_a", "tag_b").agg(F.count("*").alias("cnt"))
@@ -403,7 +498,8 @@ key_tp AS (
 @q("measures_strict", BASE_CTES + _STRICT_KEY_TP + _MEASURES_TAIL)
 def q_measures_strict(spark, sf):
     from medacy_spark.operators.scoring import measures, with_prf
-    return with_prf(measures(gold_df(spark, sf), pred_df(spark, sf), mode="strict"))
+    sides = _mention_sides(spark, sf, gold=True, pred=True)
+    return with_prf(measures(sides["gold"], sides["pred"], mode="strict"))
 
 
 @q("measures_lenient", BASE_CTES + """
@@ -417,7 +513,8 @@ def q_measures_strict(spark, sf):
 """ + _MEASURES_TAIL)
 def q_measures_lenient(spark, sf):
     from medacy_spark.operators.scoring import measures, with_prf
-    return with_prf(measures(gold_df(spark, sf), pred_df(spark, sf), mode="lenient"))
+    sides = _mention_sides(spark, sf, gold=True, pred=True)
+    return with_prf(measures(sides["gold"], sides["pred"], mode="lenient"))
 
 
 # ---- A4 closure: full derivations (specificity/auc/accuracy, tn ≡ 0 as in
@@ -621,6 +718,9 @@ FROM gold g JOIN phrase p
   ON g.doc_id = p.doc_id AND g.start >= p.start AND g."end" <= p."end"
 """)
 def q_containment_pairs(spark, sf):
+    # per-side builders, NOT _mention_sides: measured faster here — the
+    # bucketed join pipelines fully and exchange reuse dedups the token
+    # pass, while a checkpoint would add a materialization barrier
     from medacy_spark.operators.intervals import containment_join
     g = gold_df(spark, sf).select("doc_id", "tag", "start", "end")
     p = phrase_df(spark, sf).select("doc_id", "tag", "start", "end")
