@@ -770,12 +770,24 @@ GROUP BY o.o_orderkey
 ORDER BY revenue DESC, orderkey ASC LIMIT 10
 """)
 def q_top_orders(spark, sf):
+    # join order matters (guide §3.1): reduce orders by the selective
+    # BUILDING-customer broadcast FIRST, then broadcast the surviving
+    # orderkeys into the lineitem scan — lineitem (the big side) is never
+    # shuffled; the only exchange left is the map-side-combined revenue
+    # aggregation. Was: lineitem ⋈ orders sort-merge (both sides
+    # shuffled) before the customer filter applied.
     c = spark.read.parquet(f"{sf}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
     o = spark.read.parquet(f"{sf}/orders.parquet")
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
+    # bounded-broadcast discipline: the surviving-orderkey relation grows
+    # with the fact table, so only force the broadcast below a row bound
+    # (parquet-metadata count — no data scan); above it the planner keeps
+    # the shuffle join
+    if o.count() <= 20_000_000:
+        oc = F.broadcast(oc)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())

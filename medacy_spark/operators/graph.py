@@ -19,6 +19,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Scale-adaptive shuffle sizing for the iterative operators (CC /
+# pagerank): they run AQE-off (checkpoint-partitioning preservation), so
+# AQE's small-partition coalescing never applies, and a graph of a few
+# hundred edges otherwise pays the full configured partition count on
+# every one of ~2 shuffles x N iterations — pure scheduling overhead at
+# bench scale, and the identical constant would be wrong again on a
+# cluster. Partition count is derived from the materialized edge count
+# instead (guide §2: derive partitioning from input size); the cap is
+# whatever spark.sql.shuffle.partitions is configured to, so production
+# clusters keep their tuning.
+GRAPH_ROWS_PER_PARTITION = 100_000
+
+
+def _iter_shuffle_partitions(spark, n_rows: int) -> int:
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # floor of 2, not 1: a 1-partition hash partitioning normalizes to
+    # SinglePartition at checkpoint capture and the preserved-layout
+    # join re-inserts an Exchange per iteration (measured via the
+    # one-Exchange plan gate)
+    want = max(2, -(-n_rows // GRAPH_ROWS_PER_PARTITION))  # ceil div
+    return min(cap, want)
+
 
 def connected_components(
     edges: DataFrame,
@@ -52,11 +74,13 @@ def connected_components(
     # below survives into the loop — same recipe as pagerank, measured
     # there at 1.8x.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    part_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _connected_components_inner(edges, src, dst, max_iter, stats)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", part_before)
 
 
 def _connected_components_inner(edges, src, dst, max_iter, stats) -> DataFrame:
@@ -70,6 +94,13 @@ def _connected_components_inner(edges, src, dst, max_iter, stats) -> DataFrame:
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .localCheckpoint()
     )
+    # size every iteration shuffle to the (now materialized) edge count —
+    # the count is a cached-checkpoint scan, not a recompute
+    spark = e.sparkSession
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_iter_shuffle_partitions(spark, e.count())),
+    )
     # the undirected relation is consumed once per iteration and its
     # distinct is a shuffle — materialize it ONCE, laid out for the
     # propagation join (partitioned+sorted by the label-carrying end) so
@@ -79,7 +110,10 @@ def _connected_components_inner(edges, src, dst, max_iter, stats) -> DataFrame:
         .distinct()
         .repartition("b")
         .sortWithinPartitions("b")
-        .localCheckpoint()
+        # lazy: iteration 1's single action materializes it once; eager
+        # here would cost a separate barrier job (r8: each extra job is
+        # ~100-200 ms of fixed overhead, which dominates small graphs)
+        .localCheckpoint(eager=False)
     )
     # initial label = min(self, neighbors)
     labels = (
@@ -89,7 +123,7 @@ def _connected_components_inner(edges, src, dst, max_iter, stats) -> DataFrame:
             F.least("a", "nbr_min").alias("component"),
         )
     )
-    labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint(eager=False)
     n_iter = 0
     converged = False
     for _ in range(max_iter):
@@ -126,7 +160,10 @@ def _connected_components_inner(edges, src, dst, max_iter, stats) -> DataFrame:
                 F.least("component", F.coalesce("_pc", "component")).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint()
+        # lazy: the changed-count action below materializes (and
+        # persists) new_labels in the SAME job — eager was a second
+        # barrier job per iteration for no extra safety
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -261,6 +298,7 @@ def pagerank(
     # shuffle is tamed by map-side combine (not by AQE, which doesn't
     # split skewed aggregations anyway).
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    part_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _pagerank_inner(
@@ -269,6 +307,7 @@ def pagerank(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", part_before)
 
 
 def _pagerank_inner(
@@ -280,13 +319,21 @@ def _pagerank_inner(
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .localCheckpoint()
     )
+    # size the per-iteration shuffles to the materialized edge count
+    # (cached-checkpoint scan; see _iter_shuffle_partitions)
+    spark = e.sparkSession
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_iter_shuffle_partitions(spark, e.count())),
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select("_d"))
         .distinct()
         .repartition("node")
         .sortWithinPartitions("node")
-        .localCheckpoint()
+        # lazy: the count() below materializes it in the same job
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -306,7 +353,9 @@ def _pagerank_inner(
         .select("_s", "_d", (F.col("_w") / F.col("_wout")).alias("_share"))
         .repartition("_s")
         .sortWithinPartitions("_s")
-        .localCheckpoint()
+        # lazy: iteration 1 materializes it once inside the final
+        # (pipelined) action — eager was a separate barrier job
+        .localCheckpoint(eager=False)
     )
     if seeds is None:
         join_base = nodes

@@ -92,7 +92,12 @@ def train_ngram_lm(
     for whatever it drops)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = docs.select(_tokens(docs, text_col).alias("_toks"))
+    # grams AND vocab read the token arrays — cut the lineage so the
+    # corpus split/lower runs once, not once per consumer (r8; same rule
+    # as lm_count_relation below)
+    toks = docs.select(_tokens(docs, text_col).alias("_toks")).localCheckpoint(
+        eager=False
+    )
     grams = toks.select(F.explode(_gram_structs(F.col("_toks"), n)).alias("g"))
     gram_counts = grams.groupBy("g.ctx", "g.w").agg(F.count("*").alias("c"))
     if min_count > 1:

@@ -47,7 +47,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from medacy_spark.session import get_spark
 
-    spark = get_spark(cores=8)
+    # default 8 for fast local gating; set SPARK_GRAFT_ORACLE_CPUS=32 to
+    # replicate the driver's parallelism (r7's bm25 red row was a
+    # local[8]-green / local[32]-red float-rounding tie — run BOTH before
+    # shipping float-valued query changes)
+    import os
+
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
