@@ -87,6 +87,16 @@ def bm25_scores(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    # Integer-exact summation (r8, the r7 driver's one red row): contrib
+    # is a 9-decimal-rounded double, which is NOT exact in binary, so
+    # round(sum(contrib), 6) depends on partition/merge order at the last
+    # ulp — green at local[8], one flipped rounding tie at local[32].
+    # Summing the contributions as exact nano-unit longs (contrib*1e9 is
+    # integral by construction, |sum| far below 2^53) makes the per-doc
+    # total associativity-proof; the final half-up rounding to micro
+    # units replays round(x, 6) exactly (contributions are provably
+    # non-negative here: idf > 0 because df <= N, weight > 0).
+    nano = F.sum(F.round(F.col("contrib") * 1e9).cast("long"))
     per_doc = (
         hits.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats))
@@ -94,7 +104,7 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_hit_terms"),
-            F.round(F.sum("contrib"), 6).alias("bm25"),
+            (F.floor((nano + F.lit(500)) / F.lit(1000)) / F.lit(1e6)).alias("bm25"),
         )
     )
     return (
