@@ -145,6 +145,13 @@ def _mention_sides(
     Values are identical to the per-side builders (oracle-verified);
     only the plan changes.
 
+    NOT a universal win: the checkpoint is a materialization barrier and
+    its persisted blocks linger for the session, so fully-pipelined
+    aggregate plans (measures_*, containment_pairs) measured FASTER with
+    the per-side builders under the frozen bench — only the self-join
+    workloads that otherwise re-derive the pass 4x (ambiguity_counts)
+    or carry a wide θ-join (lenient_intersection) use this helper.
+
     Returns {"gold"/"pred"/"phrase": DataFrame(doc_id, tag, start, end,
     text)} filtered views of the one checkpoint.
     """
