@@ -4939,33 +4939,33 @@ def q_quality_classifier(spark, sf):
 # whose newest driver record is r4/r5 (everything else re-confirmed
 # green in CORRECTNESS_r06).
 _PRIORITY = [
-    # new in round 7 (no driver record yet)
-    "bm25_relevance", "pii_signals", "host_stats", "copurchase_bfs",
-    "duplicate_passages", "boilerplate_removal", "sequence_packing",
-    "host_link_graph", "host_pagerank", "lm_perplexity",
+    # r8: Spark-side plan changed this round (scan fan-out / single-pass
+    # mention tables / integer-exact bm25 / adaptive graph shuffles /
+    # join-order) — re-verify under the driver's gate FIRST
+    "bm25_relevance", "ambiguity_counts", "lenient_intersection",
+    "top_orders", "lm_perplexity", "text_hygiene", "cooccurrence_ppmi",
+    "embedding_topk", "embedding_topk_lsh", "embedding_topk_ivf",
+    "embedding_near_dups", "connected_components", "kg_pagerank",
+    "kg_nodes", "kg_edges", "host_pagerank", "host_ppr",
+    "alias_entity_clusters", "incremental_dedup", "minhash_lsh",
+    "simhash_candidates", "ngram_jaccard", "measures_strict",
+    "measures_lenient", "containment_pairs", "doc_fingerprints",
+    "exact_dup_groups", "data_limit",
+    # newest driver record is r4/r5 — rotate in for fresh rows
+    "fold_assignment", "gazetteer_match", "gold_overlay",
+    "line_word_index", "metamap_candidates", "offset_restore",
+    "pricing_summary", "sem_type_discovery", "semtype_filter",
+    "text_extractor", "vocab_index",
+    # r7-new rows with a single driver record — keep them inside a
+    # 50-slot budget window
+    "pii_signals", "host_stats", "copurchase_bfs", "duplicate_passages",
+    "boilerplate_removal", "sequence_packing", "host_link_graph",
     "anchor_alias_table", "url_canonical", "bpe_merges",
     "bpe_segmentations", "bpe_tokenize", "source_mixture",
-    "quality_classifier", "alias_entity_clusters", "host_random_walks",
-    "host_ppr", "packing_stats",
-    "incremental_dedup", "measures_macro",
-    "kg_pagerank", "repetition_signals", "benchmark_decontam",
+    "quality_classifier", "host_random_walks", "packing_stats",
+    "measures_macro", "repetition_signals", "benchmark_decontam",
     "events_sessionize", "purchase_attribution", "hash_sample",
     "stratified_sample", "copurchase_triangles", "event_value_quantiles",
-    # newest driver record is r4/r5 — rotate in for fresh rows
-    "ade_lines", "clinical_mention_counts", "clinical_rule_tokens",
-    "clinical_triples", "con_roundtrip", "connected_components",
-    "containment_pairs", "cross_fold_measures", "cui_overlay",
-    "data_limit", "doc_fingerprints", "embedding_near_dups",
-    "embedding_topk", "embedding_topk_ivf", "embedding_topk_lsh",
-    "events_running_sum", "exact_dup_groups", "feature_tuples",
-    "fold_assignment", "gazetteer_match", "gold_overlay",
-    "line_word_index", "metamap_candidates", "ngram_jaccard",
-    "offset_restore", "pricing_summary", "sem_type_discovery",
-    "semtype_filter", "text_extractor", "text_hygiene", "top_orders",
-    "vocab_index",
-    # behavior-adjacent this round (term_canon plan change — values
-    # pinned unchanged by the oracles): re-confirm early
-    "kg_nodes", "kg_edges",
 ]
 
 
